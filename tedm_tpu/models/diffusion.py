@@ -1,0 +1,293 @@
+"""The DDPM process as pure functions over a UNet apply-fn.
+
+Behavioral parity with the reference DiffusionModel
+(models/diffusion_model.py:50-301): 1000 steps, cosine schedule by default,
+epsilon-prediction with **L1** loss (:138), p2 reweighting (:142), ancestral
+sampling with clipped posterior log-variance and Imagen-style dynamic
+thresholding at the 0.995 quantile (:221-235).
+
+TPU-first design:
+* Everything is a pure function of (params, schedule, rng, batch) —
+  jit/pjit-able, shard-able, scan-able.
+* ``sample_loop`` runs the entire 1000-step reverse trajectory as ONE
+  ``lax.scan`` on device (the reference's Python loop of 1000 kernel
+  launches, trainers/utils.py:85-88, is the main thing this build deletes).
+  Dynamic thresholding's per-batch quantile happens inside the scan body —
+  no host sync anywhere.
+* ``val_loss`` evaluates evenly-spaced timesteps by folding them into the
+  batch axis (one big UNet call) instead of the reference's Python loop over
+  ``t`` (models/diffusion_model.py:145-156) — same numbers, MXU-saturating.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from tedm_tpu.ops.schedules import DiffusionSchedule, extract
+
+# An apply function: (x_t, t) -> model output (epsilon or x_0 prediction).
+ApplyFn = Callable[[Array, Array], Array]
+
+
+def normalize_to_neg_one_to_one(x: Array) -> Array:
+    return x * 2.0 - 1.0
+
+
+def unnormalize_to_zero_to_one(x: Array) -> Array:
+    return (x + 1.0) * 0.5
+
+
+def q_sample(
+    sched: DiffusionSchedule, x_0: Array, t: Array, noise: Array
+) -> Array:
+    """Forward diffusion: x_t = sqrt(a_bar_t) x_0 + sqrt(1-a_bar_t) eps
+    (reference: models/diffusion_model.py:176-203)."""
+    a = extract(sched.sqrt_alphas_cumprod, t, x_0.ndim)
+    b = extract(sched.sqrt_one_minus_alphas_cumprod, t, x_0.ndim)
+    return a * x_0 + b * noise
+
+
+def predict_x0_from_noise(sched: DiffusionSchedule, x_t: Array, t: Array, noise: Array) -> Array:
+    """(reference: models/diffusion_model.py:269-286)"""
+    return (
+        extract(sched.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t
+        - extract(sched.sqrt_recipm1_alphas_cumprod, t, x_t.ndim) * noise
+    )
+
+
+def predict_noise_from_x0(sched: DiffusionSchedule, x_t: Array, t: Array, x_0: Array) -> Array:
+    """(reference: models/diffusion_model.py:288-301)"""
+    return (
+        extract(sched.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t - x_0
+    ) / extract(sched.sqrt_recipm1_alphas_cumprod, t, x_t.ndim)
+
+
+def q_posterior(
+    sched: DiffusionSchedule, x_0: Array, x_t: Array, t: Array
+) -> Tuple[Array, Array]:
+    """Posterior q(x_{t-1} | x_t, x_0) mean and clipped log-variance
+    (reference: models/diffusion_model.py:259-267)."""
+    mean = (
+        extract(sched.posterior_mean_coef1, t, x_t.ndim) * x_0
+        + extract(sched.posterior_mean_coef2, t, x_t.ndim) * x_t
+    )
+    log_var = extract(sched.posterior_log_variance_clipped, t, x_t.ndim)
+    return mean, log_var
+
+
+def dynamic_threshold(x_0: Array, percentile: float) -> Array:
+    """Imagen dynamic thresholding (reference: models/diffusion_model.py:224-231):
+    clip to the per-sample `percentile` quantile of |x_0| (floored at 1) and
+    rescale into [-1, 1]."""
+    flat = jnp.abs(x_0.reshape(x_0.shape[0], -1))
+    s = jnp.quantile(flat, percentile, axis=1)
+    s = jnp.maximum(s, 1.0).reshape(-1, *((1,) * (x_0.ndim - 1)))
+    return jnp.clip(x_0, -s, s) / s
+
+
+def model_predictions(
+    apply_fn: ApplyFn,
+    sched: DiffusionSchedule,
+    x_t: Array,
+    t: Array,
+    objective: str = "pred_noise",
+) -> Tuple[Array, Array]:
+    """Return (pred_noise, pred_x_0) (reference: models/diffusion_model.py:237-257).
+    The reference's 'pred_x_start'/'pred_x_0' naming mismatch is fixed: the
+    objective is consistently 'pred_x_0'."""
+    out = apply_fn(x_t, t)
+    if objective == "pred_noise":
+        return out, predict_x0_from_noise(sched, x_t, t, out)
+    elif objective == "pred_x_0":
+        return predict_noise_from_x0(sched, x_t, t, out), out
+    raise ValueError(f"unknown objective {objective}")
+
+
+def p_mean_variance(
+    apply_fn: ApplyFn,
+    sched: DiffusionSchedule,
+    x_t: Array,
+    t: Array,
+    objective: str = "pred_noise",
+    clip_denoised: bool = True,
+    dynamic_threshold_percentile: float = 0.995,
+) -> Tuple[Array, Array, Array]:
+    """(reference: models/diffusion_model.py:221-235)"""
+    _, pred_x_0 = model_predictions(apply_fn, sched, x_t, t, objective)
+    if clip_denoised:
+        pred_x_0 = dynamic_threshold(pred_x_0, dynamic_threshold_percentile)
+    mean, log_var = q_posterior(sched, pred_x_0, x_t, t)
+    return mean, log_var, pred_x_0
+
+
+def sample_step(
+    apply_fn: ApplyFn,
+    sched: DiffusionSchedule,
+    rng: Array,
+    x_t: Array,
+    t: Array,
+    objective: str = "pred_noise",
+    dynamic_threshold_percentile: float = 0.995,
+) -> Array:
+    """One ancestral reverse step x_t -> x_{t-1}
+    (reference: models/diffusion_model.py:205-219). `t` is a (B,) int array;
+    noise is suppressed at t == 0 via a mask (scan-friendly, no Python branch).
+    """
+    mean, log_var, _ = p_mean_variance(
+        apply_fn, sched, x_t, t, objective, True, dynamic_threshold_percentile
+    )
+    noise = jax.random.normal(rng, x_t.shape, dtype=x_t.dtype)
+    nonzero = (t > 0).astype(x_t.dtype).reshape(-1, *((1,) * (x_t.ndim - 1)))
+    return mean + jnp.exp(0.5 * log_var) * noise * nonzero
+
+
+def sample_loop(
+    apply_fn: ApplyFn,
+    sched: DiffusionSchedule,
+    rng: Array,
+    shape: Tuple[int, ...],
+    objective: str = "pred_noise",
+    dynamic_threshold_percentile: float = 0.995,
+    dtype=jnp.float32,
+) -> Array:
+    """Full T-step reverse trajectory as a single on-device ``lax.scan``.
+    Returns the final sample in [-1, 1]. (The reference runs 1000 sequential
+    Python-level ``sample_timestep`` calls, trainers/utils.py:85-88.)"""
+    T = sched.num_timesteps
+    rng, init_rng = jax.random.split(rng)
+    x_T = jax.random.normal(init_rng, shape, dtype=dtype)
+    step_rngs = jax.random.split(rng, T)
+
+    def body(x, inputs):
+        t_scalar, step_rng = inputs
+        t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
+        x = sample_step(
+            apply_fn, sched, step_rng, x, t, objective, dynamic_threshold_percentile
+        )
+        return x, None
+
+    ts = jnp.arange(T - 1, -1, -1)
+    x_0, _ = jax.lax.scan(body, x_T, (ts, step_rngs))
+    return x_0
+
+
+def sample_loop_with_snapshots(
+    apply_fn: ApplyFn,
+    sched: DiffusionSchedule,
+    rng: Array,
+    shape: Tuple[int, ...],
+    n_snapshots: int = 8,
+    objective: str = "pred_noise",
+    dynamic_threshold_percentile: float = 0.995,
+    dtype=jnp.float32,
+) -> Tuple[Array, Array]:
+    """Memory-bounded variant: keeps only ``n_snapshots`` frames by writing
+    into a fixed (n_snapshots, *shape) buffer inside the scan."""
+    T = sched.num_timesteps
+    stepsize = T // n_snapshots
+    rng, init_rng = jax.random.split(rng)
+    x_T = jax.random.normal(init_rng, shape, dtype=dtype)
+    step_rngs = jax.random.split(rng, T)
+    snaps = jnp.zeros((n_snapshots, *shape), dtype=dtype)
+
+    def body(carry, inputs):
+        x, snaps = carry
+        t_scalar, step_rng = inputs
+        t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
+        x = sample_step(
+            apply_fn, sched, step_rng, x, t, objective, dynamic_threshold_percentile
+        )
+        # Reference keeps frames at t % stepsize == 0 (trainers/utils.py:88).
+        slot = jnp.clip(t_scalar // stepsize, 0, n_snapshots - 1)
+        write = (t_scalar % stepsize) == 0
+        new = jnp.where(write, x, snaps[slot])
+        snaps = jax.lax.dynamic_update_index_in_dim(snaps, new, slot, 0)
+        return (x, snaps), None
+
+    ts = jnp.arange(T - 1, -1, -1)
+    (x_0, snaps), _ = jax.lax.scan(body, (x_T, snaps), (ts, step_rngs))
+    return x_0, snaps
+
+
+def train_loss(
+    apply_fn: ApplyFn,
+    sched: DiffusionSchedule,
+    rng: Array,
+    x_0: Array,
+    objective: str = "pred_noise",
+    normalize: bool = True,
+    t: Optional[Array] = None,
+) -> Array:
+    """L1 epsilon-matching loss with p2 reweighting
+    (reference: models/diffusion_model.py:120-143). x_0 is in [0, 1] when
+    ``normalize``; t defaults to per-sample uniform."""
+    n = x_0.shape[0]
+    t_rng, noise_rng = jax.random.split(rng)
+    if t is None:
+        t = jax.random.randint(t_rng, (n,), 0, sched.num_timesteps)
+    if normalize:
+        x_0 = normalize_to_neg_one_to_one(x_0)
+    noise = jax.random.normal(noise_rng, x_0.shape, dtype=x_0.dtype)
+    x_t = q_sample(sched, x_0, t, noise)
+    out = apply_fn(x_t, t)
+    target = noise if objective == "pred_noise" else x_0
+    loss = jnp.abs(out.astype(jnp.float32) - target.astype(jnp.float32))
+    loss = loss.reshape(n, -1).mean(axis=1)
+    loss = loss * sched.p2_loss_weight[t]
+    return loss.mean()
+
+
+def val_loss(
+    apply_fn: ApplyFn,
+    sched: DiffusionSchedule,
+    rng: Array,
+    x_0: Array,
+    t_steps: int,
+    objective: str = "pred_noise",
+    normalize: bool = True,
+    fold_batch: int = 8,
+) -> Array:
+    """Mean loss over evenly-spaced timesteps
+    (reference: models/diffusion_model.py:145-156). The reference loops over
+    timesteps in Python; here the timesteps are folded into the batch axis in
+    chunks of ``fold_batch`` and scanned — identical estimator, far fewer,
+    far larger device calls."""
+    T = sched.num_timesteps
+    step = T // t_steps
+    t_values = jnp.arange(0, T, step)  # (S,)
+    S = t_values.shape[0]
+    n = x_0.shape[0]
+    pad = (-S) % fold_batch
+    t_padded = jnp.pad(t_values, (0, pad))
+    valid = jnp.pad(jnp.ones((S,), jnp.float32), (0, pad))
+    t_chunks = t_padded.reshape(-1, fold_batch)
+    v_chunks = valid.reshape(-1, fold_batch)
+    rngs = jax.random.split(rng, t_chunks.shape[0])
+
+    if normalize:
+        x_0n = normalize_to_neg_one_to_one(x_0)
+    else:
+        x_0n = x_0
+
+    def chunk_loss(carry, inputs):
+        t_chunk, v_chunk, crng = inputs
+        # (F*n,) timesteps: each of the F chunk values applied to the full batch
+        t_rep = jnp.repeat(t_chunk, n)
+        x_rep = jnp.tile(x_0n, (fold_batch, *([1] * (x_0.ndim - 1))))
+        noise = jax.random.normal(crng, x_rep.shape, dtype=x_rep.dtype)
+        x_t = q_sample(sched, x_rep, t_rep, noise)
+        out = apply_fn(x_t, t_rep)
+        tgt = noise if objective == "pred_noise" else x_rep
+        l = jnp.abs(out.astype(jnp.float32) - tgt.astype(jnp.float32))
+        l = l.reshape(fold_batch * n, -1).mean(axis=1)
+        l = l * sched.p2_loss_weight[t_rep]
+        per_t = l.reshape(fold_batch, n).mean(axis=1)  # mean over batch per t
+        return carry + jnp.sum(per_t * v_chunk), None
+
+    total, _ = jax.lax.scan(chunk_loss, jnp.float32(0.0), (t_chunks, v_chunks, rngs))
+    return total / S

@@ -1,0 +1,424 @@
+"""The DDPM UNet backbone, TPU-native.
+
+Architectural parity with the reference lucidrains-style UNet
+(models/unet_model.py:246-368): init 7x7 conv; 4 down stages of
+[ResBlock, ResBlock, Residual(PreNorm(LinearAttention)), Downsample];
+mid ResBlock + full Attention + ResBlock; 4 up stages with skip-concat;
+final ResBlock over cat(x, init-residual) + 1x1 conv. Golden parameter
+count at dim=64, mults (1,2,4,8), channels=1: 36,245,377.
+
+TPU-first design decisions (not translations):
+* NHWC layout throughout — the native layout for TPU convolutions.
+* Decoder activations are **first-class outputs** (``extract_features=True``)
+  instead of the reference's forward hooks + per-call device→host copies
+  (models/datasetDM_model.py:16-27). Features never leave the device.
+* dtype-polymorphic: params live in fp32, compute dtype is a module
+  parameter (bf16 on TPU); normalization statistics always in fp32.
+* optional Pallas kernels for fused GroupNorm+FiLM+SiLU and linear
+  attention (see tedm_tpu/ops/pallas/).
+* ``encode`` / ``run_mid`` / ``decode`` are exposed separately so the
+  contrastive models (models/global_local_cl.py in the reference) reuse the
+  same parameter tree, enabling partial-checkpoint finetuning.
+
+The ``cond`` argument is accepted and ignored, faithfully mirroring the
+reference's (dead) conditional path (models/unet_model.py:333).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from tedm_tpu.ops.resize import nearest_upsample_2x
+
+Dtype = Any
+
+
+def l2norm(x: Array, axis: int = -1, eps: float = 1e-12) -> Array:
+    """F.normalize semantics: x / max(||x||_2, eps)."""
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+class ChanLayerNorm(nn.Module):
+    """Channel-wise biasless LayerNorm (reference: models/unet_model.py:52-61).
+
+    Normalizes over the channel axis per spatial position with *biased*
+    variance, learnable gain only. eps=1e-5 in fp32 (1e-3 otherwise).
+    """
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        g = self.param("g", nn.initializers.ones, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        eps = 1e-5
+        out = (xf - mean) * jax.lax.rsqrt(var + eps) * g
+        return out.astype(self.dtype)
+
+
+class SinusoidalPosEmb(nn.Module):
+    """Classical sinusoidal timestep embedding (reference: models/unet_model.py:76-93)."""
+
+    dim: int
+
+    def __call__(self, t: Array) -> Array:
+        half_dim = self.dim // 2
+        emb = math.log(10000.0) / (half_dim - 1)
+        emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+        emb = t.astype(jnp.float32)[:, None] * emb[None, :]
+        return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+
+
+class TimeMLP(nn.Module):
+    """SinusoidalPosEmb -> Dense(4*dim) -> GELU(exact) -> Dense(4*dim)
+    (reference: models/unet_model.py:287-292)."""
+
+    dim: int
+    time_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: Array) -> Array:
+        x = SinusoidalPosEmb(self.dim)(t)
+        x = nn.Dense(self.time_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.time_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Block(nn.Module):
+    """Conv3x3 -> GroupNorm(8) -> optional FiLM (x*(scale+1)+shift) -> SiLU
+    (reference: models/unet_model.py:119-135)."""
+
+    dim_out: int
+    groups: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, scale_shift: Optional[Tuple[Array, Array]] = None) -> Array:
+        x = nn.Conv(self.dim_out, (3, 3), padding="SAME", dtype=self.dtype, name="proj")(x)
+        x = nn.GroupNorm(
+            num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm"
+        )(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale + 1.0) + shift
+        return nn.silu(x).astype(self.dtype)
+
+
+class ResnetBlock(nn.Module):
+    """Two FiLM-conditioned Blocks with a residual 1x1 projection
+    (reference: models/unet_model.py:138-175)."""
+
+    dim: int
+    dim_out: int
+    time_emb_dim: Optional[int] = None
+    groups: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, time_emb: Optional[Array] = None) -> Array:
+        scale_shift = None
+        if self.time_emb_dim is not None and time_emb is not None:
+            temb = nn.silu(time_emb)
+            temb = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="time_proj")(temb)
+            temb = temb[:, None, None, :]  # (B,1,1,2C)
+            scale_shift = (temb[..., : self.dim_out], temb[..., self.dim_out :])
+
+        h = Block(self.dim_out, self.groups, self.dtype, name="block1")(x, scale_shift)
+        h = Block(self.dim_out, self.groups, self.dtype, name="block2")(h)
+        if self.dim != self.dim_out:
+            res = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x)
+        else:
+            res = x
+        return h + res
+
+
+class LinearAttention(nn.Module):
+    """O(N) linear attention over spatial positions
+    (reference: models/unet_model.py:178-210).
+
+    q is softmaxed over its channel dim, k over positions; the context matrix
+    softmax(k)·v is a (d x e) MXU matmul per head. Wrapped with the reference's
+    to_out Conv1x1 + ChanLayerNorm.
+    """
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+    dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(
+            hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv"
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        # (B, H, W, heads*dh) -> (B, heads, dh, N): mirror the reference's
+        # 'b (h c) x y -> b h c (x y)' head-major channel split.
+        def to_heads(t: Array) -> Array:
+            t = t.reshape(b, h * w, self.heads, self.dim_head)
+            return t.transpose(0, 2, 3, 1)
+
+        q, k, v = to_heads(q), to_heads(k), to_heads(v)
+
+        if self.use_pallas:
+            from tedm_tpu.ops.pallas.linear_attention import linear_attention
+
+            out = linear_attention(q, k, v, scale=self.dim_head**-0.5)
+        else:
+            qf = jax.nn.softmax(q.astype(jnp.float32), axis=2)  # over d
+            kf = jax.nn.softmax(k.astype(jnp.float32), axis=3)  # over n
+            qf = qf * (self.dim_head**-0.5)
+            vf = v.astype(jnp.float32) / (h * w)
+            context = jnp.einsum("bhdn,bhen->bhde", kf, vf)
+            out = jnp.einsum("bhde,bhdn->bhen", context, qf)
+
+        out = out.transpose(0, 3, 1, 2).reshape(b, h, w, hidden).astype(self.dtype)
+        out = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="to_out")(out)
+        return ChanLayerNorm(self.dim, self.dtype, name="out_norm")(out)
+
+
+class Attention(nn.Module):
+    """Full quadratic attention with cosine-sim logits, fixed scale 16
+    (reference: models/unet_model.py:213-241). Runs at the 16x16 mid stage."""
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+    scale: float = 16.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(
+            hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv"
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def to_heads(t: Array) -> Array:  # (B,H,W,hd) -> (B, heads, N, dh)
+            return t.reshape(b, h * w, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = to_heads(q), to_heads(k), to_heads(v)
+        q = l2norm(q.astype(jnp.float32))
+        k = l2norm(k.astype(jnp.float32))
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k) * self.scale
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(jnp.float32))
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, hidden).astype(self.dtype)
+        return nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="to_out")(out)
+
+
+class Residual(nn.Module):
+    fn: nn.Module
+
+    def __call__(self, x: Array, *args, **kwargs) -> Array:
+        return self.fn(x, *args, **kwargs) + x
+
+
+class PreNormAttn(nn.Module):
+    """Residual(PreNorm(attn)) as used in every stage
+    (reference: models/unet_model.py:29-36, 64-73)."""
+
+    dim: int
+    attn: nn.Module
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        y = ChanLayerNorm(self.dim, self.dtype, name="norm")(x)
+        return self.attn(y) + x
+
+
+class Downsample(nn.Module):
+    """Conv 4x4 stride 2 pad 1 (reference: models/unet_model.py:47-49)."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.Conv(
+            self.dim_out, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x + conv 3x3 (reference: models/unet_model.py:39-44)."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nearest_upsample_2x(x)
+        return nn.Conv(self.dim_out, (3, 3), padding="SAME", dtype=self.dtype, name="conv")(x)
+
+
+class Unet(nn.Module):
+    """The full backbone. See module docstring for parity notes."""
+
+    dim: int = 64
+    init_dim: Optional[int] = None
+    out_dim: Optional[int] = None
+    dim_mults: Sequence[int] = (1, 2, 4, 8)
+    channels: int = 1
+    resnet_block_groups: int = 8
+    dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    def setup(self) -> None:
+        init_dim = self.init_dim if self.init_dim is not None else self.dim
+        dims = [init_dim] + [self.dim * m for m in self.dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        self._in_out = in_out
+        time_dim = self.dim * 4
+        g = self.resnet_block_groups
+
+        self.init_conv = nn.Conv(
+            init_dim, (7, 7), padding="SAME", dtype=self.dtype, name="init_conv"
+        )
+        self.time_mlp = TimeMLP(self.dim, time_dim, self.dtype, name="time_mlp")
+
+        downs = []
+        for ind, (dim_in, dim_out) in enumerate(in_out):
+            is_last = ind >= len(in_out) - 1
+            downs.append(
+                (
+                    ResnetBlock(dim_in, dim_in, time_dim, g, self.dtype),
+                    ResnetBlock(dim_in, dim_in, time_dim, g, self.dtype),
+                    PreNormAttn(
+                        dim_in,
+                        LinearAttention(dim_in, dtype=self.dtype, use_pallas=self.use_pallas),
+                        self.dtype,
+                    ),
+                    Downsample(dim_out, self.dtype)
+                    if not is_last
+                    else nn.Conv(dim_out, (3, 3), padding="SAME", dtype=self.dtype),
+                )
+            )
+        self.downs = downs
+
+        mid_dim = dims[-1]
+        self.mid_block1 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype)
+        self.mid_attn = PreNormAttn(mid_dim, Attention(mid_dim, dtype=self.dtype), self.dtype)
+        self.mid_block2 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype)
+
+        ups = []
+        for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
+            is_last = ind == len(in_out) - 1
+            ups.append(
+                (
+                    ResnetBlock(dim_out + dim_in, dim_out, time_dim, g, self.dtype),
+                    ResnetBlock(dim_out + dim_in, dim_out, time_dim, g, self.dtype),
+                    PreNormAttn(
+                        dim_out,
+                        LinearAttention(dim_out, dtype=self.dtype, use_pallas=self.use_pallas),
+                        self.dtype,
+                    ),
+                    Upsample(dim_in, self.dtype)
+                    if not is_last
+                    else nn.Conv(dim_in, (3, 3), padding="SAME", dtype=self.dtype),
+                )
+            )
+        self.ups = ups
+
+        out_dim = self.out_dim if self.out_dim is not None else self.channels
+        self.final_res_block = ResnetBlock(self.dim * 2, self.dim, time_dim, g, self.dtype)
+        self.final_conv = nn.Conv(out_dim, (1, 1), dtype=self.dtype, name="final_conv")
+
+    # ------------------------------------------------------------- pieces
+
+    def time_embed(self, t: Optional[Array]) -> Optional[Array]:
+        return self.time_mlp(t) if t is not None else None
+
+    def encode(self, x: Array, temb: Optional[Array]) -> Tuple[Array, Array, List[Array]]:
+        """init_conv + down path. Returns (bottleneck, init_residual, skips)."""
+        x = self.init_conv(x)
+        r = x
+        hs: List[Array] = []
+        for block1, block2, attn, downsample in self.downs:
+            x = block1(x, temb)
+            hs.append(x)
+            x = block2(x, temb)
+            x = attn(x)
+            hs.append(x)
+            x = downsample(x)
+        return x, r, hs
+
+    def run_mid(self, x: Array, temb: Optional[Array]) -> Array:
+        x = self.mid_block1(x, temb)
+        x = self.mid_attn(x)
+        return self.mid_block2(x, temb)
+
+    def decode(
+        self,
+        x: Array,
+        r: Array,
+        hs: List[Array],
+        temb: Optional[Array],
+        collect_features: bool = False,
+        n_stages: Optional[int] = None,
+    ) -> Tuple[Array, List[Array]]:
+        """Up path. With ``collect_features``, also returns the post-attention
+        map of every up stage — the reference's hooked activations
+        (models/datasetDM_model.py:50-53): [512@16², 256@32², 128@64², 64@128²]
+        at default dims."""
+        hs = list(hs)
+        feats: List[Array] = []
+        stages = self.ups if n_stages is None else self.ups[:n_stages]
+        for block1, block2, attn, upsample in stages:
+            x = jnp.concatenate([x, hs.pop()], axis=-1)
+            x = block1(x, temb)
+            x = jnp.concatenate([x, hs.pop()], axis=-1)
+            x = block2(x, temb)
+            x = attn(x)
+            if collect_features:
+                feats.append(x)
+            x = upsample(x)
+        return x, feats
+
+    def final(self, x: Array, r: Array, temb: Optional[Array]) -> Array:
+        x = jnp.concatenate([x, r], axis=-1)
+        x = self.final_res_block(x, temb)
+        return self.final_conv(x)
+
+    # ------------------------------------------------------------- forward
+
+    def __call__(
+        self,
+        x: Array,
+        time: Optional[Array] = None,
+        cond: Optional[Array] = None,  # accepted but unused (parity: unet_model.py:333)
+        *,
+        extract_features: bool = False,
+    ):
+        temb = self.time_embed(time)
+        x, r, hs = self.encode(x, temb)
+        x = self.run_mid(x, temb)
+        x, feats = self.decode(x, r, hs, temb, collect_features=extract_features)
+        out = self.final(x, r, temb)
+        if extract_features:
+            return out, feats
+        return out
+
+
+def count_params(params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,100 @@
+"""DDPM beta schedules and derived coefficient tables.
+
+Behavioral parity with the reference (models/diffusion_model.py:16-47 for the
+schedules, :82-115 for the derived buffers), built as a frozen pytree of
+jnp arrays so the whole table rides along inside jit/pjit with no host sync.
+
+Golden values (fp32, verified against the reference implementation):
+    cosine:  beta[0] = 4.1246e-05, beta[999] = 0.999 (clipped)
+    linear:  beta[0] = 1e-4,       beta[999] = 0.02
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import Array
+
+
+def linear_beta_schedule(timesteps: int, start: float = 1e-4, end: float = 0.02) -> Array:
+    """Linearly spaced betas, scaled so any T matches T=1000 integrated noise
+    (reference: models/diffusion_model.py:16-29)."""
+    scale = 1000.0 / timesteps
+    return jnp.linspace(scale * start, scale * end, timesteps, dtype=jnp.float32)
+
+
+def cosine_beta_schedule(timesteps: int, s: float = 0.008) -> Array:
+    """Nichol & Dhariwal cosine schedule (reference: models/diffusion_model.py:32-47)."""
+    steps = timesteps + 1
+    x = jnp.linspace(0.0, float(timesteps), steps, dtype=jnp.float32)
+    alphas_cumprod = jnp.cos(((x / timesteps) + s) / (1 + s) * math.pi * 0.5) ** 2
+    alphas_cumprod = alphas_cumprod / alphas_cumprod[0]
+    betas = 1.0 - (alphas_cumprod[1:] / alphas_cumprod[:-1])
+    return jnp.clip(betas, 0.0, 0.999)
+
+
+class DiffusionSchedule(NamedTuple):
+    """All per-timestep coefficients needed by q_sample / posterior / loss
+    (reference buffers: models/diffusion_model.py:82-115). Shapes all (T,)."""
+
+    betas: Array
+    alphas_cumprod: Array
+    sqrt_alphas_cumprod: Array
+    sqrt_one_minus_alphas_cumprod: Array
+    sqrt_recip_alphas_cumprod: Array
+    sqrt_recipm1_alphas_cumprod: Array
+    posterior_variance: Array
+    posterior_log_variance_clipped: Array
+    posterior_mean_coef1: Array
+    posterior_mean_coef2: Array
+    p2_loss_weight: Array
+
+    @property
+    def num_timesteps(self) -> int:
+        return self.betas.shape[0]
+
+
+def make_schedule(
+    timesteps: int = 1000,
+    beta_schedule: str = "cosine",
+    p2_loss_weight_gamma: float = 0.0,
+    p2_loss_weight_k: float = 1.0,
+) -> DiffusionSchedule:
+    if beta_schedule == "linear":
+        betas = linear_beta_schedule(timesteps)
+    elif beta_schedule == "cosine":
+        betas = cosine_beta_schedule(timesteps)
+    else:
+        raise ValueError(f"unknown beta schedule {beta_schedule}")
+
+    alphas = 1.0 - betas
+    alphas_cumprod = jnp.cumprod(alphas, axis=0)
+    alphas_cumprod_prev = jnp.pad(alphas_cumprod[:-1], (1, 0), constant_values=1.0)
+
+    posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+    p2_loss_weight = (
+        p2_loss_weight_k + alphas_cumprod / (1.0 - alphas_cumprod)
+    ) ** (-p2_loss_weight_gamma)
+
+    return DiffusionSchedule(
+        betas=betas,
+        alphas_cumprod=alphas_cumprod,
+        sqrt_alphas_cumprod=jnp.sqrt(alphas_cumprod),
+        sqrt_one_minus_alphas_cumprod=jnp.sqrt(1.0 - alphas_cumprod),
+        sqrt_recip_alphas_cumprod=jnp.sqrt(1.0 / alphas_cumprod),
+        sqrt_recipm1_alphas_cumprod=jnp.sqrt(1.0 / alphas_cumprod - 1.0),
+        posterior_variance=posterior_variance,
+        posterior_log_variance_clipped=jnp.log(jnp.clip(posterior_variance, min=1e-20)),
+        posterior_mean_coef1=betas * jnp.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod),
+        posterior_mean_coef2=(1.0 - alphas_cumprod_prev) * jnp.sqrt(alphas) / (1.0 - alphas_cumprod),
+        p2_loss_weight=p2_loss_weight,
+    )
+
+
+def extract(table: Array, t: Array, ndim: int) -> Array:
+    """Gather per-sample coefficients and broadcast against an ndim image batch:
+    (T,) gathered at t:(B,) -> (B, 1, ..., 1) (reference: trainers/utils.py:48-59)."""
+    out = table[t]
+    return out.reshape(out.shape[0], *((1,) * (ndim - 1)))

@@ -1,0 +1,66 @@
+"""Config system tests: CLI parity, presets, round-trip, diffing."""
+
+from tedm_tpu.config import Config, config_from_args, diff_configs
+
+
+def test_defaults_match_reference():
+    c = Config()
+    # reference config.py defaults
+    assert c.img_size == 128
+    assert c.dim == 64
+    assert c.dim_mults == (1, 2, 4, 8)
+    assert c.timesteps == 1000
+    assert c.beta_schedule == "cosine"
+    assert c.objective == "pred_noise"
+    assert c.batch_size == 16
+    assert c.lr == 1e-4
+    assert c.max_steps == 500_000
+    assert c.log_freq == 100 and c.val_freq == 100
+    assert c.t_steps_to_save == (50, 200, 400, 600, 800)
+    assert c.seed == 0
+
+
+def test_tedm_preset():
+    c = config_from_args(["--experiment", "TEDM", "--n_labelled_images", "3"])
+    assert c.shared_weights_over_timesteps is True
+    assert c.t_steps_to_save == (1, 10, 25, 50, 200, 400, 600, 800)
+    assert c.normalize is True and c.channels == 1 and c.out_channels == 1
+    assert "/TEDM/3/" in c.log_dir
+
+
+def test_ledm_preset():
+    c = config_from_args(["--experiment", "LEDM"])
+    assert c.t_steps_to_save == (50, 150, 250)
+    assert c.shared_weights_over_timesteps is False
+
+
+def test_img_only_logdir():
+    c = config_from_args(["--experiment", "img_only", "--dataset", "CXR14"])
+    assert "/CXR14/" in c.log_dir
+
+
+def test_json_roundtrip():
+    c = config_from_args(["--experiment", "TEDM", "--lr", "3e-4"])
+    c2 = Config.from_json(c.to_json())
+    assert c == c2
+
+
+def test_diff_configs():
+    a = Config()
+    b = a.replace(lr=5e-4, dim=32)
+    msgs = []
+    changed = diff_configs(a, b, printer=msgs.append)
+    assert set(changed) == {"lr", "dim"}
+    assert any("lr" in m for m in msgs)
+
+
+def test_feature_channels():
+    c = Config()
+    assert c.feature_channels_per_step == 960
+    assert config_from_args(["--experiment", "TEDM"]).n_feature_steps == 8
+    assert config_from_args(["--experiment", "LEDM"]).n_feature_steps == 3
+
+
+def test_unknown_keys_ignored():
+    c = Config.from_dict({"lr": 1.0, "bogus_key": 42})
+    assert c.lr == 1.0

@@ -1,0 +1,77 @@
+"""Schedule math golden tests (goldens verified against the reference
+implementation, models/diffusion_model.py:16-47,82-115; see SURVEY §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tedm_tpu.ops.schedules import (
+    cosine_beta_schedule,
+    extract,
+    linear_beta_schedule,
+    make_schedule,
+)
+
+
+def test_cosine_schedule_goldens():
+    betas = np.asarray(cosine_beta_schedule(1000))
+    assert betas.shape == (1000,)
+    # Golden values from the reference torch implementation.
+    assert betas[0] == pytest.approx(4.1246e-05, rel=1e-3)
+    assert betas[-1] == pytest.approx(0.999, abs=1e-6)  # clipped
+    assert np.all(betas >= 0) and np.all(betas <= 0.999)
+    assert np.all(np.diff(betas[:990]) > -1e-9)  # monotone until the clip region
+
+
+def test_linear_schedule_goldens():
+    betas = np.asarray(linear_beta_schedule(1000))
+    assert betas[0] == pytest.approx(1e-4)
+    assert betas[-1] == pytest.approx(0.02)
+    # T-rescaling: integrated noise preserved for different T
+    betas500 = np.asarray(linear_beta_schedule(500))
+    assert betas500[0] == pytest.approx(2e-4)
+
+
+def test_schedule_identities():
+    s = make_schedule(1000, "cosine")
+    a = np.asarray(s.alphas_cumprod)
+    # alphas_cumprod decreasing in (0, 1]
+    assert a[0] < 1.0 and a[-1] > 0.0
+    assert np.all(np.diff(a) < 0)
+    # sqrt identities
+    np.testing.assert_allclose(
+        np.asarray(s.sqrt_alphas_cumprod) ** 2, a, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s.sqrt_one_minus_alphas_cumprod) ** 2, 1 - a, rtol=1e-4
+    )
+    # posterior mean coefficients sum: coef1*sqrt(a_bar) + coef2*sqrt(alpha)...
+    # simpler identity: at t, coef1 + coef2 * sqrt(alpha_t)/... — instead verify
+    # posterior variance formula directly
+    betas = np.asarray(s.betas)
+    a_prev = np.concatenate([[1.0], a[:-1]])
+    np.testing.assert_allclose(
+        np.asarray(s.posterior_variance), betas * (1 - a_prev) / (1 - a), rtol=1e-5
+    )
+
+
+def test_p2_weight_default_is_one():
+    s = make_schedule(100, "cosine", p2_loss_weight_gamma=0.0)
+    np.testing.assert_allclose(np.asarray(s.p2_loss_weight), 1.0, rtol=1e-6)
+
+
+def test_p2_weight_gamma_one():
+    s = make_schedule(100, "cosine", p2_loss_weight_gamma=1.0, p2_loss_weight_k=1.0)
+    w = np.asarray(s.p2_loss_weight)
+    a = np.asarray(s.alphas_cumprod)
+    np.testing.assert_allclose(w, (1 + a / (1 - a)) ** -1.0, rtol=1e-5)
+
+
+def test_extract_broadcast_shape():
+    s = make_schedule(10, "linear")
+    t = jnp.array([0, 5, 9])
+    out = extract(s.betas, t, 4)
+    assert out.shape == (3, 1, 1, 1)
+    np.testing.assert_allclose(
+        np.asarray(out).ravel(), np.asarray(s.betas)[[0, 5, 9]]
+    )

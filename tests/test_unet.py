@@ -1,0 +1,112 @@
+"""UNet architecture goldens (SURVEY §4): parameter count 36,245,377 at
+dim=64/mults(1,2,4,8)/channels=1 (reference: models/unet_model.py:246-331),
+decoder feature maps [512@16², 256@32², 128@64², 64@128²]
+(reference: models/datasetDM_model.py:50-53, verified empirically)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tedm_tpu.models.unet import Unet, count_params, l2norm
+
+
+def test_param_count_golden():
+    m = Unet(dim=64, dim_mults=(1, 2, 4, 8), channels=1)
+    shapes = jax.eval_shape(
+        m.init,
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 128, 128, 1)),
+        jnp.zeros((1,), jnp.int32),
+    )
+    n = sum(int(np.prod(s.shape)) for s in jax.tree_util.tree_leaves(shapes))
+    assert n == 36_245_377
+
+
+def test_feature_shapes_golden():
+    m = Unet(dim=64, dim_mults=(1, 2, 4, 8), channels=1)
+    out, feats = jax.eval_shape(
+        lambda p, x, t: m.apply(p, x, t, extract_features=True),
+        jax.eval_shape(
+            m.init,
+            jax.random.PRNGKey(0),
+            jnp.zeros((2, 128, 128, 1)),
+            jnp.zeros((2,), jnp.int32),
+        ),
+        jnp.zeros((2, 128, 128, 1)),
+        jnp.zeros((2,), jnp.int32),
+    )
+    assert out.shape == (2, 128, 128, 1)
+    assert [f.shape for f in feats] == [
+        (2, 16, 16, 512),
+        (2, 32, 32, 256),
+        (2, 64, 64, 128),
+        (2, 128, 128, 64),
+    ]
+    # 960 feature channels per timestep (SURVEY §2 C5)
+    assert sum(f.shape[-1] for f in feats) == 960
+
+
+@pytest.fixture(scope="module")
+def small_unet():
+    m = Unet(dim=8, dim_mults=(1, 2), channels=1)
+    x = jnp.zeros((2, 16, 16, 1))
+    t = jnp.zeros((2,), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), x, t)
+    return m, params
+
+
+def test_forward_finite_and_shape(small_unet):
+    m, params = small_unet
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 1))
+    t = jnp.array([3, 7], jnp.int32)
+    out = m.apply(params, x, t)
+    assert out.shape == (2, 16, 16, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_forward_without_time(small_unet):
+    """timestep=None path (used by the CL encoders, global_local_cl.py:35)."""
+    m, params = small_unet
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 1))
+    out = m.apply(params, x, None)
+    assert out.shape == (1, 16, 16, 1)
+
+
+def test_time_embedding_changes_output(small_unet):
+    m, params = small_unet
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 1))
+    o1 = m.apply(params, x, jnp.array([1], jnp.int32))
+    o2 = m.apply(params, x, jnp.array([900], jnp.int32))
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_cond_is_ignored(small_unet):
+    """Parity with the reference's dead cond arg (models/unet_model.py:333)."""
+    m, params = small_unet
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 16, 1))
+    t = jnp.array([5], jnp.int32)
+    o1 = m.apply(params, x, t)
+    o2 = m.apply(params, x, t, cond=x * 2)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_l2norm():
+    x = jnp.array([[3.0, 4.0]])
+    np.testing.assert_allclose(np.asarray(l2norm(x)), [[0.6, 0.8]], rtol=1e-6)
+
+
+def test_sinusoidal_pos_emb_matches_reference_formula():
+    from tedm_tpu.models.unet import SinusoidalPosEmb
+    import math
+
+    dim = 16
+    t = jnp.array([0.0, 100.0])
+    emb = SinusoidalPosEmb(dim)(t)
+    half = dim // 2
+    freqs = np.exp(np.arange(half) * -(math.log(10000.0) / (half - 1)))
+    expected = np.concatenate(
+        [np.sin(np.asarray(t)[:, None] * freqs), np.cos(np.asarray(t)[:, None] * freqs)],
+        axis=-1,
+    )
+    np.testing.assert_allclose(np.asarray(emb), expected, rtol=1e-5, atol=1e-6)
