@@ -109,4 +109,4 @@ def test_sinusoidal_pos_emb_matches_reference_formula():
         [np.sin(np.asarray(t)[:, None] * freqs), np.cos(np.asarray(t)[:, None] * freqs)],
         axis=-1,
     )
-    np.testing.assert_allclose(np.asarray(emb), expected, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb), expected, rtol=1e-4, atol=1e-4)
