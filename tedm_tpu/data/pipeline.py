@@ -1,0 +1,190 @@
+"""Batch loader: static shapes, seeded shuffling, prefetch, host sharding.
+
+Replaces the reference's ``torch.utils.data.DataLoader(num_workers=4,
+pin_memory=True)`` (dataloaders/JSRT.py:36-44) with a TPU-fed design:
+
+* **Static batch shapes.** Ragged final batches force XLA recompiles; here
+  every batch has the same shape and carries a ``valid`` mask (1.0 for real
+  rows, 0.0 for padding). Metrics and losses are mask-aware.
+* **Per-host sharding.** On a multi-host mesh each process loads only its
+  1/num_shards slice of every epoch (SURVEY §2.3: per-host sharded data
+  loading over DCN).
+* **Seeded epoch shuffling.** Permutation is a pure function of
+  (seed, epoch) — identical across hosts, so shards never overlap.
+* **Thread-pool prefetch.** PIL decode/resize runs in ``num_workers``
+  threads while the device computes; a bounded queue holds ready batches.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+
+class Loader:
+    def __init__(
+        self,
+        dataset: Any,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        shard_index: int = 0,
+        shard_count: int = 1,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        subset: Optional[int] = None,
+    ):
+        self.dataset = dataset
+        self.has_labels = getattr(dataset, "has_labels", True)
+        n = len(dataset) if subset is None else min(subset, len(dataset))
+        self.indices = np.arange(n)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.epoch = 0
+
+        shard_n = len(self._shard_indices(0))
+        self.batch_size = min(batch_size, max(1, shard_n))
+
+    def _shard_indices(self, epoch: int) -> np.ndarray:
+        idx = self.indices
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + epoch)
+            idx = rng.permutation(idx)
+        # Contiguous stride sharding; identical permutation on every host.
+        return idx[self.shard_index :: self.shard_count]
+
+    def __len__(self) -> int:
+        n = len(self._shard_indices(0))
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _make_batch(self, idxs: np.ndarray, pool: ThreadPoolExecutor) -> Dict[str, np.ndarray]:
+        items = list(pool.map(self.dataset.__getitem__, idxs))
+        bs = self.batch_size
+        valid = np.zeros((bs,), np.float32)
+        valid[: len(items)] = 1.0
+        if self.has_labels:
+            imgs = np.stack([it[0] for it in items])
+            masks = np.stack([it[1] for it in items])
+            if len(items) < bs:
+                pad = bs - len(items)
+                imgs = np.concatenate([imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)])
+                masks = np.concatenate([masks, np.zeros((pad, *masks.shape[1:]), masks.dtype)])
+            return {"image": imgs, "mask": masks, "valid": valid}
+        imgs = np.stack(items)
+        if len(items) < bs:
+            pad = bs - len(items)
+            imgs = np.concatenate([imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)])
+        return {"image": imgs, "valid": valid}
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._shard_indices(self.epoch)
+        self.epoch += 1
+        batches = [
+            idx[i : i + self.batch_size] for i in range(0, len(idx), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in batches:
+                    q.put(self._make_batch(b, pool))
+            q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+    def repeat(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Infinite epoch stream (the reference's outer ``while True`` epoch
+        loop, trainers/train_baseline.py:24-96)."""
+        while True:
+            yield from self
+
+
+def build_dataloaders(
+    dataset: str,
+    data_dir: Optional[str],
+    img_size: int = 128,
+    batch_size: int = 16,
+    num_workers: int = 4,
+    n_labelled_images: Optional[int] = None,
+    seed: int = 0,
+    shard_index: int = 0,
+    shard_count: int = 1,
+    synthetic: bool = False,
+) -> Dict[str, Loader]:
+    """The reference's per-dataset ``build_dataloaders`` surface
+    (dataloaders/JSRT.py:17-46, dataloaders/CXR14.py:21-45) behind one
+    dispatcher. Train is shuffled + host-sharded; val/test are neither.
+    ``synthetic=True`` (or data_dir=None) swaps in the deterministic
+    generator with the same split sizes."""
+    from tedm_tpu.data.datasets import (
+        CXR14Dataset,
+        JSRTDataset,
+        SyntheticCXRDataset,
+    )
+
+    synthetic = synthetic or data_dir is None
+    mk = lambda ds, shuffle, shard, subset=None: Loader(
+        ds,
+        batch_size,
+        shuffle=shuffle,
+        seed=seed,
+        num_workers=num_workers,
+        shard_index=shard_index if shard else 0,
+        shard_count=shard_count if shard else 1,
+        subset=subset,
+    )
+
+    if dataset == "JSRT":
+        if synthetic:
+            train = SyntheticCXRDataset("train", 197, img_size, labelled=True, seed=seed)
+            val = SyntheticCXRDataset("val", 25, img_size, labelled=True, seed=seed)
+            test = SyntheticCXRDataset("test", 25, img_size, labelled=True, seed=seed)
+        else:
+            train = JSRTDataset(data_dir, "JSRT_train_split.csv", img_size)
+            val = JSRTDataset(data_dir, "JSRT_val_split.csv", img_size)
+            test = JSRTDataset(data_dir, "JSRT_test_split.csv", img_size)
+        # Semi-supervised subset = first N rows (reference: JSRT.py:29-31).
+        return {
+            "train": mk(train, True, True, subset=n_labelled_images),
+            "val": mk(val, False, False),
+            "test": mk(test, False, False),
+        }
+
+    if dataset == "CXR14":
+        if synthetic:
+            train = SyntheticCXRDataset("cxr_train", 2048, img_size, labelled=False, seed=seed)
+            val = SyntheticCXRDataset("cxr_train", 2048, img_size, labelled=False, seed=seed)
+        else:
+            train = CXR14Dataset(data_dir, "train_split.csv", img_size)
+            # Parity quirk: the reference points val/test at train_split.csv
+            # too (dataloaders/CXR14.py:30-32).
+            val = CXR14Dataset(data_dir, "train_split.csv", img_size)
+        return {
+            "train": mk(train, True, True),
+            "val": mk(val, False, False),
+            "test": mk(val, False, False),
+        }
+
+    raise ValueError(f"unknown dataset {dataset}")

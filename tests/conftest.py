@@ -1,10 +1,13 @@
 """Test configuration: force an 8-device virtual CPU mesh so sharding tests
-run anywhere (no TPU needed), per the multi-host test strategy in SURVEY §4."""
+run anywhere (no TPU needed), per the multi-host test strategy in SURVEY §4.
+
+Note: this image's sitecustomize imports jax at interpreter startup with
+JAX_PLATFORMS pointing at the TPU tunnel, so env vars set here are too
+late — the override must go through jax.config (backends are not
+initialized until first use, so this still takes effect)."""
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +16,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

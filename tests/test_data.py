@@ -1,0 +1,82 @@
+"""Input pipeline tests: static shapes + valid masks, determinism, host
+sharding partition, subset semantics (SURVEY §4 test strategy; reference
+behaviors: dataloaders/JSRT.py:29-31 subset, ragged final batch)."""
+
+import numpy as np
+
+from tedm_tpu.data import Loader, SyntheticCXRDataset, build_dataloaders
+
+
+def test_synthetic_deterministic():
+    ds = SyntheticCXRDataset("train", 8, 64)
+    img1, mask1 = ds[3]
+    img2, mask2 = ds[3]
+    np.testing.assert_array_equal(img1, img2)
+    np.testing.assert_array_equal(mask1, mask2)
+    assert img1.shape == (64, 64, 1) and mask1.shape == (64, 64, 1)
+    assert set(np.unique(mask1)) <= {0.0, 1.0}
+    assert img1.min() >= 0.0 and img1.max() <= 1.0
+    # distinct indices and splits give distinct images
+    assert not np.array_equal(ds[3][0], ds[4][0])
+    assert not np.array_equal(
+        SyntheticCXRDataset("val", 8, 64)[3][0], img1
+    )
+
+
+def test_static_shapes_and_valid_mask():
+    ds = SyntheticCXRDataset("train", 10, 32)
+    loader = Loader(ds, batch_size=4, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3
+    for b in batches:
+        assert b["image"].shape == (4, 32, 32, 1)
+        assert b["mask"].shape == (4, 32, 32, 1)
+    assert batches[-1]["valid"].tolist() == [1.0, 1.0, 0.0, 0.0]
+    assert np.all(batches[-1]["image"][2:] == 0)
+
+
+def test_shuffle_seeded_and_epochs_differ():
+    ds = SyntheticCXRDataset("train", 16, 16)
+    l1 = Loader(ds, batch_size=16, shuffle=True, seed=7)
+    l2 = Loader(ds, batch_size=16, shuffle=True, seed=7)
+    b1, b2 = next(iter(l1)), next(iter(l2))
+    np.testing.assert_array_equal(b1["image"], b2["image"])
+    b1b = next(iter(l1))  # epoch 2
+    assert not np.array_equal(b1["image"], b1b["image"])
+
+
+def test_host_sharding_partitions_epoch():
+    ds = SyntheticCXRDataset("train", 12, 16)
+    shards = [
+        Loader(ds, batch_size=3, shuffle=True, seed=1, shard_index=i, shard_count=3)
+        for i in range(3)
+    ]
+    seen = []
+    for s in shards:
+        for b in s:
+            seen.extend(b["image"][b["valid"] > 0].reshape(len(b["image"][b["valid"] > 0]), -1).sum(1).tolist())
+    assert len(seen) == 12
+    assert len(set(np.round(seen, 5))) == 12  # disjoint coverage
+
+
+def test_small_dataset_batch_clamps():
+    ds = SyntheticCXRDataset("train", 1, 16)
+    loader = Loader(ds, batch_size=16)
+    (b,) = list(loader)
+    assert b["image"].shape[0] == 1  # n_labelled=1 trains at batch 1 (parity)
+
+
+def test_build_dataloaders_synthetic_jsrt():
+    dls = build_dataloaders("JSRT", None, img_size=32, batch_size=8,
+                            n_labelled_images=3, num_workers=1)
+    tb = next(iter(dls["train"]))
+    assert tb["image"].shape[0] == 3
+    assert sum(int(b["valid"].sum()) for b in dls["val"]) == 25
+    assert sum(int(b["valid"].sum()) for b in dls["test"]) == 25
+
+
+def test_build_dataloaders_synthetic_cxr14():
+    dls = build_dataloaders("CXR14", None, img_size=32, batch_size=64, num_workers=1)
+    b = next(iter(dls["train"]))
+    assert b["image"].shape == (64, 32, 32, 1)
+    assert "mask" not in b

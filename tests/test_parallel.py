@@ -1,0 +1,64 @@
+"""Mesh + sharding tests on the 8-device virtual CPU mesh (conftest.py).
+Validates that DP batch sharding + replicated params produce gradients
+identical to single-device, and that TP rules shard only wide leaves."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tedm_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated_sharding,
+    shard_batch,
+)
+
+
+def test_make_mesh_default_uses_all_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == jax.device_count() == 8
+    assert mesh.axis_names == ("data",)
+
+
+def test_make_mesh_2d():
+    mesh = make_mesh((4, 2), ("data", "model"))
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+
+
+def test_dp_grads_match_single_device():
+    mesh = make_mesh()
+    w = jnp.arange(12.0).reshape(3, 4) / 10.0
+    x = jnp.arange(64.0).reshape(16, 4) / 30.0
+
+    def loss(w, x):
+        return jnp.mean((x @ w.T) ** 2)
+
+    g_single = jax.grad(loss)(w, x)
+    wr = jax.device_put(w, replicated_sharding(mesh))
+    xs = jax.device_put(x, batch_sharding(mesh))
+    g_sharded = jax.jit(jax.grad(loss))(wr, xs)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single), rtol=1e-6)
+
+
+def test_param_shardings_tp_rules():
+    mesh = make_mesh((4, 2), ("data", "model"))
+    params = {
+        "wide": jnp.zeros((3, 3, 64, 512)),
+        "narrow": jnp.zeros((3, 3, 8, 8)),
+        "bias": jnp.zeros((512,)),
+    }
+    sh = param_shardings(params, mesh, mode="tp")
+    assert sh["wide"].spec == P(None, None, None, "model")
+    assert sh["narrow"].spec == P()
+    assert sh["bias"].spec == P()  # 1D stays replicated
+    sh_rep = param_shardings(params, mesh, mode="replicated")
+    assert all(s.spec == P() for s in jax.tree_util.tree_leaves(sh_rep))
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh()
+    batch = {"image": np.zeros((16, 8, 8, 1), np.float32), "valid": np.ones((16,), np.float32)}
+    out = shard_batch(batch, mesh)
+    assert out["image"].sharding.spec == P("data")

@@ -1,0 +1,110 @@
+"""Classifier-head goldens and fused-vs-naive equivalence.
+
+Param goldens (BASELINE.md): TEDM shared head 127,489; LEDM (S=3) head
+373,249. The fused multi-scale layer 1 must equal the naive
+resize→concat→1x1-conv computation exactly (nearest resize commutes with
+1x1 conv)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tedm_tpu.models.segmentation import (
+    LinearProbe,
+    PixelClassifier,
+    feature_moments,
+)
+from tedm_tpu.ops.resize import nearest_resize
+
+
+def _feats(key, n_fold, img=32, stages=((8, 64), (16, 32), (32, 16))):
+    ks = jax.random.split(key, len(stages))
+    return [
+        jax.random.normal(k, (n_fold, r, r, c), jnp.float32)
+        for k, (r, c) in zip(ks, stages)
+    ]
+
+
+STAGES = (64, 32, 16)
+
+
+def _naive_concat(feats, n_steps, img):
+    """Reference dataflow: resize each stage to img², concat channels
+    step-major (reference: models/datasetDM_model.py:78-83)."""
+    n_fold = feats[0].shape[0]
+    B = n_fold // n_steps
+    blocks = []
+    for s in range(n_steps):
+        for f in feats:
+            f_s = f.reshape(n_steps, B, *f.shape[1:])[s] if n_steps > 1 else f
+            blocks.append(nearest_resize(f_s, img, img))
+    return jnp.concatenate(blocks, axis=-1)  # (B, img, img, S*960')
+
+
+def test_param_count_tedm_shared_head():
+    m = PixelClassifier(stage_channels=(512, 256, 128, 64), n_steps=1)
+    feats = [jnp.zeros((2, r, r, c)) for r, c in [(16, 512), (32, 256), (64, 128), (128, 64)]]
+    shapes = jax.eval_shape(m.init, jax.random.PRNGKey(0), feats)
+    n = sum(int(np.prod(s.shape)) for s in jax.tree_util.tree_leaves(shapes["params"]))
+    assert n == 127_489
+
+
+def test_param_count_ledm_head():
+    m = PixelClassifier(stage_channels=(512, 256, 128, 64), n_steps=3)
+    feats = [jnp.zeros((6, r, r, c)) for r, c in [(16, 512), (32, 256), (64, 128), (128, 64)]]
+    shapes = jax.eval_shape(m.init, jax.random.PRNGKey(0), feats)
+    n = sum(int(np.prod(s.shape)) for s in jax.tree_util.tree_leaves(shapes["params"]))
+    assert n == 373_249
+
+
+@pytest.mark.parametrize("n_steps", [1, 2])
+def test_fused_layer1_equals_naive(n_steps):
+    img = 64
+    B = 2
+    feats = _feats(jax.random.PRNGKey(0), n_steps * B, img, ((8, 64), (16, 32), (32, 16)))
+    m = PixelClassifier(stage_channels=STAGES, n_steps=n_steps, img_size=img)
+    variables = m.init(jax.random.PRNGKey(1), feats)
+    w1 = variables["params"]["conv1_kernel"]
+    b1 = variables["params"]["conv1_bias"]
+
+    concat = _naive_concat(feats, n_steps, img)
+    naive_l1 = jnp.einsum("bhwc,cd->bhwd", concat, w1) + b1
+
+    # reproduce the fused layer-1 output by monkey-running the module up to bn1
+    out = m.apply(variables, feats, train=False)
+    assert out.shape == ((n_steps * B if n_steps == 1 else B), img, img, 1)
+
+    # direct equivalence of the linear part via LinearProbe (same fusion)
+    probe = LinearProbe(stage_channels=STAGES, n_steps=n_steps, img_size=img)
+    pv = probe.init(jax.random.PRNGKey(2), feats)
+    pw, pb = pv["params"]["kernel"], pv["params"]["bias"]
+    fused = probe.apply(pv, feats)
+    naive = jnp.einsum("bhwc,cd->bhwd", concat, pw) + pb
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(naive), atol=1e-4, rtol=1e-4)
+
+
+def test_feature_moments_order():
+    n_steps, B = 2, 3
+    feats = _feats(jax.random.PRNGKey(3), n_steps * B, 32, ((8, 4), (16, 2)))
+    mean, std = feature_moments(feats, n_steps)
+    assert mean.shape == (n_steps * 6,)
+    concat = _naive_concat(feats, n_steps, 16)
+    # moments over resized maps differ from native-res moments only through
+    # nearest duplication, which preserves per-channel mean exactly for
+    # integral ratios
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(concat.mean(axis=(0, 1, 2))), atol=1e-5
+    )
+
+
+def test_probe_standardize_applies():
+    feats = [jnp.ones((2, 4, 4, 3)) * 5.0]
+    probe = LinearProbe(stage_channels=(3,), n_steps=1, img_size=4, standardize=True)
+    pv = probe.init(jax.random.PRNGKey(0), feats)
+    stats = {"mean": jnp.full((3,), 5.0), "std": jnp.full((3,), 2.0)}
+    out = probe.apply({"params": pv["params"], "stats": stats}, feats)
+    # (5-5)/2 = 0 → output is exactly the bias
+    np.testing.assert_allclose(
+        np.asarray(out), np.full_like(np.asarray(out), float(pv["params"]["bias"][0]))
+    )
