@@ -222,10 +222,12 @@ def train_loss(
     objective: str = "pred_noise",
     normalize: bool = True,
     t: Optional[Array] = None,
+    valid: Optional[Array] = None,
 ) -> Array:
     """L1 epsilon-matching loss with p2 reweighting
     (reference: models/diffusion_model.py:120-143). x_0 is in [0, 1] when
-    ``normalize``; t defaults to per-sample uniform."""
+    ``normalize``; t defaults to per-sample uniform. ``valid`` (B,) masks
+    out padding rows from the mean (static-shape input pipeline)."""
     n = x_0.shape[0]
     t_rng, noise_rng = jax.random.split(rng)
     if t is None:
@@ -239,7 +241,9 @@ def train_loss(
     loss = jnp.abs(out.astype(jnp.float32) - target.astype(jnp.float32))
     loss = loss.reshape(n, -1).mean(axis=1)
     loss = loss * sched.p2_loss_weight[t]
-    return loss.mean()
+    if valid is None:
+        return loss.mean()
+    return (loss * valid).sum() / jnp.maximum(valid.sum(), 1.0)
 
 
 def val_loss(

@@ -1,0 +1,52 @@
+"""Experiment dispatcher (reference: train.py:15-56).
+
+    python -m tedm_tpu.train --experiment {img_only,baseline,LEDM,LEDMe,
+        TEDM,PDDM,global_cl,local_cl,global_finetune,glob_loc_finetune}
+        [--dataset {JSRT,CXR14}] [--n_labelled_images N] ...
+
+Differences from the reference, on purpose (SURVEY "Gotchas"): no
+hardcoded data_dir overwrite (pass --data_dir, or --synthetic_data);
+the TEDM preset keys shared-weights behavior on its own flag; every
+choice in --experiment actually dispatches (the reference imports
+``datasetDM_per_step.main`` but never calls it)."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from tedm_tpu.config import Config, config_from_args
+
+
+def dispatch(config: Config) -> None:
+    from tedm_tpu.trainers import baseline, datasetdm, diffusion
+
+    mains: Dict[str, Callable[[Config], None]] = {
+        "img_only": diffusion.main,
+        "baseline": baseline.main,
+        "LEDM": datasetdm.main,
+        "LEDMe": datasetdm.main,
+        "TEDM": datasetdm.main,
+    }
+    if config.experiment == "PDDM":
+        from tedm_tpu.trainers import per_step
+
+        mains["PDDM"] = per_step.main
+    if config.experiment in ("global_cl", "local_cl", "global_finetune", "glob_loc_finetune"):
+        from tedm_tpu.trainers import contrastive
+
+        mains["global_cl"] = contrastive.main_global
+        mains["local_cl"] = contrastive.main_local
+        mains["global_finetune"] = contrastive.main_finetune
+        mains["glob_loc_finetune"] = contrastive.main_finetune
+    if config.experiment not in mains:
+        raise ValueError(f"unknown experiment {config.experiment}")
+    print(f"Experiment folder: {config.log_dir}")
+    mains[config.experiment](config)
+
+
+def main(argv=None) -> None:
+    dispatch(config_from_args(argv))
+
+
+if __name__ == "__main__":
+    main()
