@@ -1,0 +1,357 @@
+"""Contrastive-learning suite: global_cl, local_cl, and the finetunes.
+
+Reference: trainers/train_global_cl.py (SimCLR NT-Xent on CXR14),
+trainers/train_local_cl.py (region-contrastive on the first 2 decoder
+stages, ONLY ups[:2] trainable — even g2 stays frozen at its random init,
+train_local_cl.py:183-192, mirrored exactly), and
+trainers/finetune_glob_cl.py / finetune_glob_loc_cl.py (supervised JSRT
+finetune of the pretrained encoder; downs/init_conv/mid frozen until
+``unfreeze_weights_at_step``; optional crop+brightness/contrast
+augmentation keyed on ``augment_at_finetuning``).
+
+TPU-native: augmentations are vmapped affine resamples inside the jitted
+step (no per-sample Python loops); partial freezing is a gradient mask
+(zero the frozen subtrees; for the finetune's step-triggered unfreeze the
+mask flips via jnp.where on the step counter, so there is exactly ONE
+compiled step function)."""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tedm_tpu.config import Config
+from tedm_tpu.data import build_dataloaders
+from tedm_tpu.models.contrastive import (
+    GlobalCL,
+    LocalCL,
+    global_nt_xent,
+    local_region_loss,
+)
+from tedm_tpu.models.unet import Unet
+from tedm_tpu.ops.augment import augment_and_concat, brightness_contrast, crop_batch
+from tedm_tpu.trainers.common import SegTask, train_segmentation
+from tedm_tpu.utils.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+    load_config,
+    save_checkpoint,
+)
+from tedm_tpu.utils.logging import MetricsLogger
+
+FROZEN_PREFIXES = ("downs", "init_conv", "mid_")  # reference: finetune_glob_cl.py:64-67
+
+
+def _grad_mask(params: Any, keep: Callable[[str], bool]) -> Any:
+    """{top-level key -> 0/1} mask pytree for gradient gating."""
+    return {
+        k: jax.tree_util.tree_map(lambda _: jnp.float32(1.0 if keep(k) else 0.0), v)
+        for k, v in params.items()
+    }
+
+
+def _train_cl(config: Config, model, variables, loss_of, grad_mask=None) -> None:
+    """Shared CL loop (reference train/validate shape,
+    train_global_cl.py:71-137): unlabeled CXR14 batches, two augmented
+    views, feature loss, best-val checkpointing."""
+    tx = optax.adam(config.lr)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+
+    def loss_fn(p, bs, x, rng):
+        k_aug, k_loss = jax.random.split(rng)
+        views = augment_and_concat(k_aug, x)
+        return loss_of(p, bs, views, k_loss)
+
+    @partial(jax.jit, donate_argnums=(0, 2))
+    def train_step(p, bs, opt_state, x, rng):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, bs, x, rng)
+        if grad_mask is not None:
+            grads = jax.tree_util.tree_map(jnp.multiply, grads, grad_mask)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), new_bs, opt_state, loss
+
+    @jax.jit
+    def eval_step(p, bs, x, rng):
+        loss, _ = loss_fn(p, bs, x, rng)
+        return loss
+
+    loaders = build_dataloaders(
+        "CXR14", config.data_dir, config.img_size, config.batch_size,
+        config.num_workers, seed=config.seed,
+        shard_index=jax.process_index(), shard_count=jax.process_count(),
+        synthetic=config.synthetic_data,
+    )
+    logger = MetricsLogger(config.log_dir, config, enabled=not config.debug)
+    rng = jax.random.PRNGKey(config.seed)
+    best_val = float("inf")
+    train_losses, step = [], 0
+    t0 = time.time()
+
+    for batch in loaders["train"].repeat():
+        step += 1
+        rng, sub = jax.random.split(rng)
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, batch["image"], sub
+        )
+        train_losses.append(float(loss))
+
+        if step % config.log_freq == 0 or config.debug:
+            logger.log({"train/loss": float(np.mean(train_losses))}, step)
+            train_losses = []
+
+        if step % config.val_freq == 0 or config.debug:
+            vloss, n = 0.0, 0
+            for i, vb in enumerate(loaders["val"]):
+                rng, vk = jax.random.split(rng)
+                vloss += float(eval_step(params, batch_stats, vb["image"], vk))
+                n += 1
+                if i + 1 == config.max_val_steps or config.debug:
+                    break
+            vloss /= max(n, 1)
+            logger.log({"val/loss": vloss}, step)
+            state = {"params": params, "batch_stats": batch_stats,
+                     "opt_state": opt_state, "step": step}
+            if vloss < best_val and not config.debug:
+                best_val = vloss
+                save_checkpoint(f"{config.log_dir}/best", state, config)
+
+        if step >= config.max_steps or config.debug:
+            break
+    logger.close()
+
+
+def main_global(config: Config) -> None:
+    model = GlobalCL(
+        img_size=config.img_size, dim=config.dim, dim_mults=tuple(config.dim_mults),
+        channels=config.channels,
+        use_pallas=config.use_pallas and jax.default_backend() == "tpu",
+    )
+    variables = model.init(
+        jax.random.PRNGKey(config.seed),
+        jnp.zeros((2, config.img_size, config.img_size, config.channels)),
+    )
+    def loss_of(p, bs, views, rng):
+        feats = model.apply({"params": p}, views)
+        return global_nt_xent(feats, views.shape[0] // 2, config.tau), bs
+
+    _train_cl(config, model, dict(variables), loss_of)
+
+
+def main_local(config: Config) -> None:
+    model = LocalCL(
+        img_size=config.img_size, dim=config.dim, dim_mults=tuple(config.dim_mults),
+        channels=config.channels,
+        use_pallas=config.use_pallas and jax.default_backend() == "tpu",
+    )
+    variables = dict(model.init(
+        jax.random.PRNGKey(config.seed),
+        jnp.zeros((2, config.img_size, config.img_size, config.channels)),
+        train=False,
+    ))
+    # Warm-start the backbone from the GlobalCL checkpoint (strict=False
+    # analogue: copy the 'unet' subtree; heads stay at init).
+    if config.global_model_path and checkpoint_exists(config.global_model_path):
+        gp = _load_unet_subtree(config, config.global_model_path)
+        # strict=False analogue: GlobalCL's unet subtree only has encoder+mid
+        # params (flax init is lazy); merge what exists, keep our init for
+        # the rest (decoder stays random, as the reference notes).
+        variables["params"] = {
+            **variables["params"],
+            "unet": {**variables["params"]["unet"], **gp},
+        }
+        print(f"Loaded GlobalCL backbone from {config.global_model_path}")
+
+    # ONLY ups[:l] trains (reference: train_local_cl.py:183-192).
+    def keep_unet(k: str) -> bool:
+        return any(k.startswith(f"ups_{i}_") for i in range(model.l))
+
+    mask = {
+        k: (_grad_mask(v, keep_unet) if k == "unet"
+            else jax.tree_util.tree_map(lambda _: jnp.float32(0.0), v))
+        for k, v in variables["params"].items()
+    }
+
+    def loss_of(p, bs, views, rng):
+        feats, upd = model.apply(
+            {"params": p, "batch_stats": bs}, views, train=True,
+            mutable=["batch_stats"],
+        )
+        return (
+            local_region_loss(rng, feats, views.shape[0] // 2, config.tau),
+            upd["batch_stats"],
+        )
+
+    _train_cl(config, model, variables, loss_of, grad_mask=mask)
+
+
+def _load_unet_subtree(config: Config, path: str) -> Any:
+    """Restore just the 'unet' params subtree from a GlobalCL/LocalCL
+    checkpoint by rebuilding the saving model's template."""
+    old = load_config(path)
+    cls = GlobalCL if old.experiment == "global_cl" else LocalCL
+    model = cls(
+        img_size=old.img_size, dim=old.dim, dim_mults=tuple(old.dim_mults),
+        channels=old.channels,
+    )
+    kw = {} if cls is GlobalCL else {"train": False}
+    template = dict(model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, old.img_size, old.img_size, old.channels)),
+        **kw,
+    ))
+    tx_template = optax.adam(old.lr).init(template["params"])
+    state, _ = load_checkpoint(
+        path,
+        {"params": template["params"],
+         "batch_stats": template.get("batch_stats", {}),
+         "opt_state": tx_template, "step": 0},
+        config,
+    )
+    return state["params"]["unet"]
+
+
+def main_finetune(config: Config) -> None:
+    """global_finetune / glob_loc_finetune: supervised JSRT training of a
+    Unet warm-started from the CL checkpoint (reference:
+    finetune_glob_cl.py:117-171), via the shared supervised loop with a
+    step-gated gradient mask and optional augmentation."""
+    dtype = jnp.bfloat16 if config.mixed_precision else jnp.float32
+    unet = Unet(
+        dim=config.dim, dim_mults=tuple(config.dim_mults), channels=config.channels,
+        out_dim=config.out_channels, dtype=dtype,
+        use_pallas=config.use_pallas and jax.default_backend() == "tpu",
+    )
+    rng = jax.random.PRNGKey(config.seed)
+    params = unet.init(
+        rng,
+        jnp.zeros((1, config.img_size, config.img_size, config.channels)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+
+    ckpt_path = (
+        config.glob_loc_model_path
+        if config.experiment == "glob_loc_finetune" and config.glob_loc_model_path
+        else config.global_model_path
+    )
+    if ckpt_path and checkpoint_exists(ckpt_path):
+        pre = _load_unet_subtree(config, ckpt_path)
+        # strict=False analogue: take every matching top-level module.
+        params = {k: pre.get(k, v) for k, v in params.items()}
+        print(f"Loaded pretrained encoder from {ckpt_path} "
+              "(note: decoder values come from the CL init, as in the reference)")
+
+    frozen = {
+        k: any(k.startswith(pfx) for pfx in FROZEN_PREFIXES) for k in params
+    }
+
+    step_counter = {"step": 0}
+
+    def apply(p, aux, x, rng, train):
+        logits = unet.apply({"params": p}, x, None)
+        return logits.astype(jnp.float32), aux
+
+    task = SegTask(apply=apply, params=params, batch_stats={})
+
+    loaders = build_dataloaders(
+        "JSRT", config.data_dir, config.img_size, config.batch_size,
+        config.num_workers, config.n_labelled_images, seed=config.seed,
+        shard_index=jax.process_index(), shard_count=jax.process_count(),
+        synthetic=config.synthetic_data,
+    )
+    if config.augment_at_finetuning:
+        loaders = dict(loaders)
+        loaders["train"] = _AugmentedLoader(loaders["train"], config.seed)
+
+    logger = MetricsLogger(config.log_dir, config, enabled=not config.debug)
+    if config.unfreeze_weights_at_step > 0:
+        # Freeze by zeroing gradients through an optax mask until the
+        # unfreeze step (one compiled step; the mask is a traced switch).
+        tx = optax.adam(config.lr)
+        _train_finetune_with_freeze(config, task, tx, frozen, loaders, logger)
+    else:
+        train_segmentation(config, task, loaders, logger)
+    logger.close()
+
+
+class _AugmentedLoader:
+    """Wraps a Loader: applies crop+brightness/contrast to (image, mask)
+    pairs on host via jitted ops (reference: finetune_glob_cl.py:30-34)."""
+
+    def __init__(self, loader, seed: int):
+        self.loader = loader
+        self._rng = jax.random.PRNGKey(seed + 12345)
+
+    def __iter__(self):
+        for b in self.loader:
+            self._rng, k1, k2 = jax.random.split(self._rng, 3)
+            img, mask = crop_batch(k1, jnp.asarray(b["image"]), jnp.asarray(b["mask"]))
+            img = brightness_contrast(k2, img)
+            yield {**b, "image": np.asarray(img), "mask": np.asarray(mask)}
+
+    def repeat(self):
+        while True:
+            yield from self
+
+
+def _train_finetune_with_freeze(config, task, tx, frozen, loaders, logger):
+    """Supervised loop variant with a step-gated gradient mask."""
+    from tedm_tpu.trainers.common import masked_bce_per_image, validate
+
+    params, batch_stats = task.params, task.batch_stats
+    opt_state = tx.init(params)
+
+    def loss_fn(p, x, y, valid, rng):
+        logits, _ = task.apply(p, batch_stats, x, rng, True)
+        _, loss = masked_bce_per_image(logits, y, valid)
+        return loss
+
+    frozen_mask = {
+        k: jax.tree_util.tree_map(
+            lambda _: jnp.float32(0.0 if frozen[k] else 1.0), v
+        )
+        for k, v in params.items()
+    }
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(p, opt_state, x, y, valid, rng, step):
+        loss, grads = jax.value_and_grad(loss_fn)(p, x, y, valid, rng)
+        unfrozen = step >= config.unfreeze_weights_at_step
+        grads = jax.tree_util.tree_map(
+            lambda g, m: g * jnp.where(unfrozen, 1.0, m), grads, frozen_mask
+        )
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    rng = jax.random.PRNGKey(config.seed)
+    best_val = float("inf")
+    train_losses, step = [], 0
+    for batch in loaders["train"].repeat():
+        step += 1
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = train_step(
+            params, opt_state, batch["image"], batch["mask"], batch["valid"],
+            sub, jnp.int32(step),
+        )
+        train_losses.append(float(loss))
+        if step % config.log_freq == 0 or config.debug:
+            logger.log({"train/loss": float(np.mean(train_losses))}, step)
+            train_losses = []
+        if step % config.val_freq == 0 or config.debug:
+            rng, vrng = jax.random.split(rng)
+            val = validate(config, task, params, batch_stats, loaders["val"], vrng)
+            logger.log(val, step)
+            state = {"params": params, "batch_stats": batch_stats,
+                     "opt_state": opt_state, "step": step}
+            if val["val/loss"] < best_val and not config.debug:
+                best_val = val["val/loss"]
+                save_checkpoint(f"{config.log_dir}/best", state, config)
+        if step >= config.max_steps or config.debug:
+            return
