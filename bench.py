@@ -44,8 +44,11 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     # Init on CPU: on-device init would be a second full remote compile of
     # the whole model (~4 min via the axon tunnel) for one-off constants.
+    # Init uses a pallas-free twin (identical param tree) because compiled
+    # Pallas kernels can't execute on the CPU backend.
+    init_unet = unet.clone(use_pallas=False) if on_tpu else unet
     with jax.default_device(jax.devices("cpu")[0]):
-        params = unet.init(
+        params = init_unet.init(
             rng, jnp.zeros((1, 128, 128, 1)), jnp.zeros((1,), jnp.int32)
         )["params"]
     params = jax.device_put(params, jax.devices()[0])

@@ -1,0 +1,172 @@
+"""Shared evaluation plumbing for run_tests / testing_shared_weights.
+
+Responsibilities (reference: auxiliary/postprocessing/run_tests.py):
+* locate + restore the experiment checkpoint (our Orbax layout:
+  ``<dir>/best/state`` with ``config.json`` beside it);
+* rebuild the right model/task from the embedded config.experiment
+  (run_tests.py:63-70 — we use the real experiment names the dispatcher
+  sets, fixing the reference's 'datasetDM' string mismatch, and accept the
+  reference aliases too);
+* the four test datasets: JSRT val/test (same split CSVs), NIH,
+  Montgomery — or their synthetic stand-ins (run_tests.py:83-91);
+* sigmoid predictions accumulated per dataset; per-image Dice/precision/
+  recall; ``.npz`` persistence with idempotent skip.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tedm_tpu.config import Config
+from tedm_tpu.data import Loader, NIHDataset, MonDataset, SyntheticCXRDataset, build_dataloaders
+from tedm_tpu.ops import metrics as M
+from tedm_tpu.utils.checkpoint import load_checkpoint, load_config
+
+DATASET_KEYS = ("JSRT_val", "JSRT_test", "NIH", "Montgomery")
+
+
+def load_experiment(exp_dir: str) -> Tuple[Config, Dict[str, Any], Any]:
+    """Restore (config, state, task) from an experiment directory."""
+    if not os.path.isdir(exp_dir):
+        raise ValueError("Experiment path is not a directory")
+    ckpt = os.path.join(exp_dir, "best")
+    if not os.path.isdir(os.path.join(ckpt, "state")):
+        raise ValueError(f"No checkpoint found in {exp_dir} (expected best/state)")
+    config = load_config(ckpt)
+    task = build_eval_task(config)
+    tx = (
+        optax.adamw(config.lr, weight_decay=config.weight_decay)
+        if config.weight_decay
+        else optax.adam(config.lr)
+    )
+    template = {
+        "params": task.params,
+        "batch_stats": task.batch_stats,
+        "opt_state": tx.init(task.params),
+        "step": 0,
+    }
+    state, _ = load_checkpoint(ckpt, template, config)
+    return config, state, task
+
+
+def build_eval_task(config: Config):
+    """Experiment name -> SegTask (reference model pick, run_tests.py:63-70).
+    Accepts both our experiment taxonomy and the reference aliases."""
+    rng = jax.random.PRNGKey(0)
+    exp = config.experiment
+    if exp in ("baseline", "global_finetune", "glob_loc_finetune"):
+        from tedm_tpu.trainers.baseline import build_task
+
+        return build_task(config, rng)
+    if exp in ("LEDM", "LEDMe", "TEDM", "datasetDM"):
+        from tedm_tpu.trainers.datasetdm import build_task
+
+        return build_task(config, rng)
+    if exp in ("PDDM", "simple_datasetDM"):
+        from tedm_tpu.trainers.per_step import build_task as build_probe
+
+        loaders = build_jsrt_loaders(config)
+        return build_probe(config, rng, loaders)
+    raise ValueError(f"Experiment {exp} not recognized")
+
+
+def build_jsrt_loaders(config: Config) -> Dict[str, Loader]:
+    return build_dataloaders(
+        "JSRT", config.data_dir, config.img_size, config.batch_size,
+        config.num_workers, config.n_labelled_images, seed=config.seed,
+        synthetic=config.synthetic_data,
+    )
+
+
+def build_test_loaders(
+    config: Config,
+    nih_path: Optional[str] = None,
+    mon_path: Optional[str] = None,
+    mon_csv: str = "patient_data.csv",
+) -> Dict[str, Loader]:
+    """The four eval sets (reference: run_tests.py:83-91). With synthetic
+    data (or missing paths) the cross-domain sets are deterministic
+    synthetic stand-ins of the reference sizes (NIH=100, Montgomery=100)."""
+    jsrt = build_jsrt_loaders(config)
+    mk = lambda ds: Loader(ds, config.batch_size, num_workers=config.num_workers)
+    out = {"JSRT_val": jsrt["val"], "JSRT_test": jsrt["test"]}
+    if config.synthetic_data or nih_path is None:
+        out["NIH"] = mk(SyntheticCXRDataset("nih", 100, config.img_size, seed=config.seed))
+    else:
+        out["NIH"] = mk(NIHDataset(nih_path, img_size=config.img_size))
+    if config.synthetic_data or mon_path is None:
+        out["Montgomery"] = mk(
+            SyntheticCXRDataset("montgomery", 100, config.img_size, seed=config.seed)
+        )
+    else:
+        # Montgomery's CSV ships with the data itself (reference MONPATH
+        # doubles as csv_path, run_tests.py:88-90).
+        out["Montgomery"] = mk(
+            MonDataset(mon_path, mon_csv, img_size=config.img_size, splits_dir=mon_path)
+        )
+    return out
+
+
+def predict_dataset(
+    task, state, loader, rng, fold: int = 1
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sigmoid predictions over a loader. Returns (y_hat, y_star) with
+    y_hat (fold*N, H, W, C) folded step-major when fold > 1."""
+
+    @jax.jit
+    def fwd(params, bs, x, r):
+        logits, _ = task.apply(params, bs, x, r, False)
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    y_hats, y_stars = [], []
+    for batch in loader:
+        rng, sub = jax.random.split(rng)
+        pred = np.asarray(fwd(state["params"], state["batch_stats"], batch["image"], sub))
+        nvalid = int(batch["valid"].sum())
+        B = len(batch["valid"])
+        if fold > 1:
+            pred = pred.reshape(fold, B, *pred.shape[1:])[:, :nvalid]
+        else:
+            pred = pred[:nvalid]
+        y_hats.append(pred)
+        y_stars.append(batch["mask"][:nvalid])
+    axis = 1 if fold > 1 else 0
+    return np.concatenate(y_hats, axis=axis), np.concatenate(y_stars, axis=0)
+
+
+def compute_output(y_hat: np.ndarray, y_star: np.ndarray) -> Dict[str, np.ndarray]:
+    """The persisted artifact dict (reference: run_tests.py:150-156)."""
+    pred = jnp.asarray(y_hat > 0.5)
+    target = jnp.asarray(y_star)
+    return {
+        "y_hat": y_hat,
+        "y_star": y_star,
+        "dice": np.asarray(M.dice(pred, target)),
+        "precision": np.asarray(M.precision(pred, target)),
+        "recall": np.asarray(M.recall(pred, target)),
+    }
+
+
+def print_metrics(name: str, output: Dict[str, np.ndarray]) -> None:
+    """Identical formatting to the reference (run_tests.py:157-159)."""
+    print(f"{name} metrics: \n\tdice:      "
+          f"{np.nanmean(output['dice']):.3}+/-{np.nanstd(output['dice']):.3}")
+    print(f"\tprecision: {np.nanmean(output['precision']):.3}"
+          f"+/-{np.nanstd(output['precision']):.3}")
+    print(f"\trecall:    {np.nanmean(output['recall']):.3}"
+          f"+/-{np.nanstd(output['recall']):.3}")
+
+
+def save_output(path: str, output: Dict[str, np.ndarray]) -> None:
+    np.savez_compressed(path, **output)
+
+
+def load_output(path: str) -> Dict[str, np.ndarray]:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}

@@ -1,0 +1,93 @@
+"""Batch evaluation harness (reference: auxiliary/postprocessing/run_tests.py).
+
+    python -m tedm_tpu.eval.run_tests --experiment <logdir>/<n>/<ts> [--rerun]
+        [--nih_path DIR] [--mon_path DIR]
+
+Evaluates the checkpointed model over JSRT_val / JSRT_test / NIH /
+Montgomery, writes ``{dataset}_predictions.npz`` (keys: y_hat, y_star,
+dice, precision, recall) into the experiment directory, prints
+mean+/-std metrics, and skips datasets already evaluated unless
+``--rerun`` (run_tests.py:40-49,107-113). For shared-weights (TEDM)
+checkpoints the prediction is the sigmoid ensembled over timesteps
+(the per-timestep breakdown lives in testing_shared_weights)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from tedm_tpu.eval.harness import (
+    DATASET_KEYS,
+    build_test_loaders,
+    compute_output,
+    load_experiment,
+    load_output,
+    predict_dataset,
+    print_metrics,
+    save_output,
+)
+
+
+def evaluate_experiment(
+    exp_dir: str,
+    rerun: bool = False,
+    nih_path: str = None,
+    mon_path: str = None,
+) -> dict:
+    """Programmatic entrypoint; returns {dataset_key: output dict}."""
+    files = set(os.listdir(exp_dir))
+    all_done = {f"{k}_predictions.npz" for k in DATASET_KEYS} <= files
+    results = {}
+    if all_done and not rerun:
+        print("Experiment already tested")
+        for key in DATASET_KEYS:
+            out = load_output(os.path.join(exp_dir, f"{key}_predictions.npz"))
+            print_metrics(key, out)
+            results[key] = out
+        return results
+
+    config, state, task = load_experiment(exp_dir)
+    loaders = build_test_loaders(config, nih_path, mon_path)
+    rng = jax.random.PRNGKey(config.seed + 777)
+
+    for key, loader in loaders.items():
+        path = os.path.join(exp_dir, f"{key}_predictions.npz")
+        if os.path.exists(path) and not rerun:
+            print(f"{key} already tested")
+            out = load_output(path)
+            print_metrics(key, out)
+            results[key] = out
+            continue
+        print(f"Testing {key} set")
+        rng, sub = jax.random.split(rng)
+        y_hat, y_star = predict_dataset(task, state, loader, sub, fold=task.fold)
+        if task.fold > 1:
+            y_hat = y_hat.mean(axis=0)  # ensemble over timesteps (app.py:79)
+        out = compute_output(y_hat, y_star)
+        print_metrics(key, out)
+        save_output(path, out)
+        results[key] = out
+    return results
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--experiment", "-e", type=str, required=True,
+                        help="Experiment path")
+    parser.add_argument("--rerun", "-r", default=False, action="store_true",
+                        help="Run the test again")
+    parser.add_argument("--nih_path", type=str, default=None)
+    parser.add_argument("--mon_path", type=str, default=None)
+    args = parser.parse_args(argv)
+    if os.path.isdir(args.experiment):
+        print("Experiment path identified as a directory")
+    else:
+        raise ValueError("Experiment path is not a directory")
+    evaluate_experiment(args.experiment, args.rerun, args.nih_path, args.mon_path)
+
+
+if __name__ == "__main__":
+    main()

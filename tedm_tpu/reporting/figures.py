@@ -1,0 +1,105 @@
+"""Figures: per-timestep boxplots + qualitative prediction grids.
+
+Reference: auxiliary/notebooks_and_reporting/generate_figures.py (per-
+timestep Dice/precision/recall boxplots over the Step_N and TEDM
+timestep artifacts, :41-121) and visualisations.py (prediction grids with
+mask boundaries, :43-161). Matplotlib renders to PDF/PNG; no seaborn.
+
+CLI:
+    python -m tedm_tpu.reporting.figures boxplot --experiment <TEDM dir> --out fig.pdf
+    python -m tedm_tpu.reporting.figures grid --experiment <dir> --dataset JSRT_test --out vis.pdf
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+from typing import Dict, List
+
+import numpy as np
+
+
+def collect_per_timestep(exp_dir: str, dataset: str = "JSRT_test") -> Dict[int, dict]:
+    """{timestep: output dict} from {dataset}_timestep{t}_predictions.npz."""
+    pat = re.compile(rf"{re.escape(dataset)}_timestep(\d+)_predictions\.npz")
+    out = {}
+    for f in os.listdir(exp_dir):
+        m = pat.fullmatch(f)
+        if m:
+            with np.load(os.path.join(exp_dir, f)) as z:
+                out[int(m.group(1))] = {k: z[k] for k in z.files}
+    return dict(sorted(out.items()))
+
+
+def per_timestep_boxplot(
+    exp_dir: str, out_path: str, dataset: str = "JSRT_test",
+    metrics: List[str] = ("dice",),
+) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    data = collect_per_timestep(exp_dir, dataset)
+    if not data:
+        raise ValueError(f"no per-timestep artifacts for {dataset} in {exp_dir}")
+    steps = list(data.keys())
+    fig, axes = plt.subplots(1, len(metrics), figsize=(4 * len(metrics), 3.2),
+                             squeeze=False)
+    for ax, metric in zip(axes[0], metrics):
+        vals = [data[t][metric].squeeze() * 100 for t in steps]
+        ax.boxplot(vals, tick_labels=[str(t) for t in steps])
+        ax.set_xlabel("diffusion timestep")
+        ax.set_ylabel(f"{metric} x100")
+        ax.set_title(dataset)
+    fig.tight_layout()
+    fig.savefig(out_path)
+    print(f"wrote {out_path}")
+
+
+def qualitative_grid(
+    exp_dir: str, out_path: str, dataset: str = "JSRT_test", n: int = 6
+) -> None:
+    """Rows of (prediction>0.5, ground truth, overlay) like
+    visualisations.py's prediction grids."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with np.load(os.path.join(exp_dir, f"{dataset}_predictions.npz")) as z:
+        y_hat, y_star = z["y_hat"], z["y_star"]
+    n = min(n, len(y_hat))
+    fig, axes = plt.subplots(n, 3, figsize=(7, 2.2 * n), squeeze=False)
+    for i in range(n):
+        pred = (y_hat[i, ..., 0] > 0.5).astype(float)
+        gt = y_star[i, ..., 0]
+        axes[i][0].imshow(pred, cmap="gray"); axes[i][0].set_title("prediction")
+        axes[i][1].imshow(gt, cmap="gray"); axes[i][1].set_title("ground truth")
+        overlay = np.stack([pred, gt, np.zeros_like(gt)], axis=-1)
+        axes[i][2].imshow(overlay); axes[i][2].set_title("overlay (R=pred, G=gt)")
+        for ax in axes[i]:
+            ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(out_path)
+    print(f"wrote {out_path}")
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("kind", choices=["boxplot", "grid"])
+    parser.add_argument("--experiment", "-e", type=str, required=True)
+    parser.add_argument("--dataset", type=str, default="JSRT_test")
+    parser.add_argument("--out", type=str, required=True)
+    parser.add_argument("--metrics", nargs="+", default=["dice", "precision", "recall"])
+    parser.add_argument("--n", type=int, default=6)
+    args = parser.parse_args(argv)
+    if args.kind == "boxplot":
+        per_timestep_boxplot(args.experiment, args.out, args.dataset, args.metrics)
+    else:
+        qualitative_grid(args.experiment, args.out, args.dataset, args.n)
+
+
+if __name__ == "__main__":
+    main()
