@@ -32,6 +32,10 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 EXPERIMENTS = (
     "img_only",       # DDPM backbone training (CXR14)  (reference: train.py:35-36)
+    "joint",          # joint img+seg DDPM on JSRT       (reference: trainers/train_base_diffusion.py:26)
+    "conditional",    # seg DDPM conditioned on img      (reference: trainers/train_base_diffusion.py:27-30;
+                      #   the reference UNet silently ignored cond — here conditioning
+                      #   is real, via channel concat)
     "baseline",       # supervised UNet on JSRT          (reference: train.py:37-38)
     "LEDM",           # datasetDM, t=[50,150,250]        (reference: train.py:39-41)
     "LEDMe",          # datasetDM, 8 timesteps           (reference: train.py:42-44)

@@ -113,6 +113,61 @@ def build_test_loaders(
     return out
 
 
+def load_diffusion_experiment(exp_dir: str):
+    """Restore a diffusion checkpoint (img_only/joint/conditional) as
+    (config, params, unet, schedule)."""
+    from tedm_tpu.trainers import diffusion as D
+    from tedm_tpu.ops.schedules import make_schedule
+
+    ckpt = os.path.join(exp_dir, "best")
+    config = load_config(ckpt)
+    unet = D.build_model(config)
+    params = D.init_params(config, unet, jax.random.PRNGKey(0))
+    template = {"params": params, "opt_state": optax.adam(config.lr).init(params),
+                "step": 0}
+    state, _ = load_checkpoint(ckpt, template, config)
+    sched = make_schedule(config.timesteps, config.beta_schedule,
+                          config.p2_loss_weight_gamma, config.p2_loss_weight_k)
+    return config, state["params"], unet, sched
+
+
+def predict_conditional_dataset(
+    config, params, unet, sched, loader, rng, n_runs: int = 5
+) -> Tuple[np.ndarray, np.ndarray]:
+    """The reference's most expensive inference path (run_tests.py:121-137):
+    per batch, ``n_runs`` independent full reverse-sampling trajectories of
+    the segmentation conditioned on the image, averaged. Here each run is
+    one jitted lax.scan instead of 1000 Python-level kernel launches."""
+    from functools import partial as _partial
+
+    from tedm_tpu.models.diffusion import sample_loop
+
+    @jax.jit
+    def run_once(p, cond, r):
+        apply_fn = lambda x, t: unet.apply(
+            {"params": p}, jnp.concatenate([x, cond], axis=-1), t
+        )
+        x0 = sample_loop(
+            apply_fn, sched, r, cond.shape[:3] + (1,),
+            objective=config.objective,
+            dynamic_threshold_percentile=config.dynamic_threshold_percentile,
+        )
+        return x0 * 0.5 + 0.5  # unnormalize (run_tests.py:131)
+
+    y_hats, y_stars = [], []
+    for batch in loader:
+        cond = jnp.asarray(batch["image"], jnp.float32) * 2.0 - 1.0
+        runs = []
+        for _ in range(n_runs):
+            rng, sub = jax.random.split(rng)
+            runs.append(np.asarray(run_once(params, cond, sub)))
+        pred = np.stack(runs, axis=-1).mean(axis=-1)
+        nvalid = int(batch["valid"].sum())
+        y_hats.append(pred[:nvalid])
+        y_stars.append(batch["mask"][:nvalid])
+    return np.concatenate(y_hats), np.concatenate(y_stars)
+
+
 def predict_dataset(
     task, state, loader, rng, fold: int = 1
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -49,7 +49,20 @@ def evaluate_experiment(
             results[key] = out
         return results
 
-    config, state, task = load_experiment(exp_dir)
+    from tedm_tpu.utils.checkpoint import load_config
+
+    config = load_config(os.path.join(exp_dir, "best"))
+    conditional = config.experiment == "conditional"
+    if conditional:
+        from tedm_tpu.eval.harness import (
+            load_diffusion_experiment,
+            predict_conditional_dataset,
+        )
+
+        config, params, unet, sched = load_diffusion_experiment(exp_dir)
+        task = state = None
+    else:
+        config, state, task = load_experiment(exp_dir)
     loaders = build_test_loaders(config, nih_path, mon_path)
     rng = jax.random.PRNGKey(config.seed + 777)
 
@@ -63,9 +76,15 @@ def evaluate_experiment(
             continue
         print(f"Testing {key} set")
         rng, sub = jax.random.split(rng)
-        y_hat, y_star = predict_dataset(task, state, loader, sub, fold=task.fold)
-        if task.fold > 1:
-            y_hat = y_hat.mean(axis=0)  # ensemble over timesteps (app.py:79)
+        if conditional:
+            # 5 full reverse-sampling runs averaged (run_tests.py:121-137).
+            y_hat, y_star = predict_conditional_dataset(
+                config, params, unet, sched, loader, sub
+            )
+        else:
+            y_hat, y_star = predict_dataset(task, state, loader, sub, fold=task.fold)
+            if task.fold > 1:
+                y_hat = y_hat.mean(axis=0)  # ensemble over timesteps (app.py:79)
         out = compute_output(y_hat, y_star)
         print_metrics(key, out)
         save_output(path, out)

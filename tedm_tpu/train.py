@@ -22,6 +22,8 @@ def dispatch(config: Config) -> None:
 
     mains: Dict[str, Callable[[Config], None]] = {
         "img_only": diffusion.main,
+        "joint": diffusion.main,
+        "conditional": diffusion.main,
         "baseline": baseline.main,
         "LEDM": datasetdm.main,
         "LEDMe": datasetdm.main,

@@ -45,81 +45,131 @@ from tedm_tpu.utils.checkpoint import (
 from tedm_tpu.utils.logging import MetricsLogger
 
 
+def mode_channels(config: Config) -> Tuple[int, int]:
+    """(x_channels, model_input_channels) per experiment mode
+    (reference: trainers/train_base_diffusion.py:26-32):
+    img_only — unconditional on images; joint — DDPM over cat(img, seg);
+    conditional — DDPM over seg with the image concatenated to every
+    model input (real conditioning; the reference's ``cond`` was ignored,
+    models/unet_model.py:333)."""
+    if config.experiment == "joint":
+        return 2, 2
+    if config.experiment == "conditional":
+        return 1, 2
+    return config.channels, config.channels
+
+
 def build_model(config: Config) -> Unet:
     dtype = jnp.bfloat16 if config.mixed_precision else jnp.float32
+    x_ch, _ = mode_channels(config)
     return Unet(
         dim=config.dim,
         dim_mults=tuple(config.dim_mults),
-        channels=config.channels,
+        channels=x_ch,
+        out_dim=x_ch,
         dtype=dtype,
         use_pallas=config.use_pallas and jax.default_backend() == "tpu",
     )
 
 
 def init_params(config: Config, unet: Unet, rng) -> Any:
+    _, in_ch = mode_channels(config)
     return unet.init(
         rng,
-        jnp.zeros((1, config.img_size, config.img_size, config.channels)),
+        jnp.zeros((1, config.img_size, config.img_size, in_ch)),
         jnp.zeros((1,), jnp.int32),
     )["params"]
 
 
 def make_steps(config: Config, unet: Unet, sched, tx):
-    def apply_fn_of(params):
+    conditional = config.experiment == "conditional"
+    x_ch, _ = mode_channels(config)
+
+    def apply_fn_of(params, cond=None):
+        if conditional:
+            def apply(x, t, **kw):
+                # val_loss folds timesteps into the batch axis; tile the
+                # conditioning image to match.
+                c = jnp.tile(cond, (x.shape[0] // cond.shape[0], 1, 1, 1))
+                return unet.apply(
+                    {"params": params}, jnp.concatenate([x, c], axis=-1), t, **kw
+                )
+            return apply
         return lambda x, t, **kw: unet.apply({"params": params}, x, t, **kw)
 
-    def loss_fn(params, x, valid, rng):
+    def loss_fn(params, x, cond, valid, rng):
         return train_loss(
-            apply_fn_of(params), sched, rng, x,
+            apply_fn_of(params, cond), sched, rng, x,
             objective=config.objective, normalize=config.normalize, valid=valid,
         )
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, x, valid, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, valid, rng)
+    def train_step(params, opt_state, x, cond, valid, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, cond, valid, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def eval_step(params, x, rng):
+    def eval_step(params, x, cond, rng):
         return val_loss(
-            apply_fn_of(params), sched, rng, x, config.val_steps,
+            apply_fn_of(params, cond), sched, rng, x, config.val_steps,
             objective=config.objective, normalize=config.normalize,
         )
 
-    @partial(jax.jit, static_argnums=(2,))
-    def sample_grid(params, rng, n):
+    @partial(jax.jit, static_argnums=(3,))
+    def sample_grid(params, cond, rng, n):
         x0, snaps = sample_loop_with_snapshots(
-            apply_fn_of(params), sched, rng,
-            (1, config.img_size, config.img_size, config.channels),
+            apply_fn_of(params, cond), sched, rng,
+            (1, config.img_size, config.img_size, x_ch),
             n_snapshots=n,
             objective=config.objective,
             dynamic_threshold_percentile=config.dynamic_threshold_percentile,
         )
-        return unnormalize_to_zero_to_one(jnp.clip(snaps[:, 0], -1.0, 1.0))
+        # joint sampling produces (img, seg) channel pairs; tile channels
+        # side by side for the grid.
+        snaps = snaps[:, 0]
+        if snaps.shape[-1] > 1:
+            snaps = jnp.concatenate(
+                [snaps[..., c : c + 1] for c in range(snaps.shape[-1])], axis=2
+            )
+        return unnormalize_to_zero_to_one(jnp.clip(snaps, -1.0, 1.0))
 
     return train_step, eval_step, sample_grid
 
 
+def batch_to_x_cond(config: Config, batch) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-mode (x_0, cond): img_only -> (image, dummy); joint ->
+    (cat(image, mask), dummy); conditional -> (mask, image in [-1, 1])."""
+    img = batch["image"]
+    if config.experiment == "joint":
+        return np.concatenate([img, batch["mask"]], axis=-1), np.zeros((1,), np.float32)
+    if config.experiment == "conditional":
+        return batch["mask"], img.astype(np.float32) * 2.0 - 1.0
+    return img, np.zeros((1,), np.float32)
+
+
 def validate(config, eval_step, sample_grid, params, loader, rng, logger, step):
     losses, weights = [], []
+    cond0 = None
     for i, batch in enumerate(loader):
         rng, sub = jax.random.split(rng)
+        x, cond = batch_to_x_cond(config, batch)
         # Reference val loss ignores padding; weight by valid rows.
-        w = float(batch["valid"].sum())
+        w = int(batch["valid"].sum())
         if w < len(batch["valid"]):  # drop padded rows (static alternative: mask)
-            x = batch["image"][: int(w)]
+            x = x[:w]
+            cond = cond[:w] if cond.ndim > 1 else cond
             if x.shape[0] == 0:
                 continue
-        else:
-            x = batch["image"]
-        losses.append(float(eval_step(params, x, sub)) * x.shape[0])
+        if cond0 is None:
+            cond0 = cond[:1] if cond.ndim > 1 else cond
+        losses.append(float(eval_step(params, x, cond, sub)) * x.shape[0])
         weights.append(x.shape[0])
         if i + 1 == config.max_val_steps or config.debug:
             break
     rng, srng = jax.random.split(rng)
     n_snaps = min(config.n_sampled_imgs, 10)
-    snaps = sample_grid(params, srng, n_snaps)
+    snaps = sample_grid(params, cond0, srng, n_snaps)
     logger.log_images("val/samples", np.asarray(snaps), step)
     vloss = float(np.sum(losses) / max(np.sum(weights), 1e-9))
     return vloss
@@ -144,7 +194,12 @@ def main(config: Config) -> None:
         params, opt_state, step = state["params"], state["opt_state"], int(state["step"])
         print(f"Resumed from {config.resume_path} at step {step}")
 
-    dataset = "CXR14" if config.experiment == "img_only" else config.dataset
+    if config.experiment in ("joint", "conditional"):
+        dataset = "JSRT"  # needs masks (reference: train_base_diffusion.py:26-32)
+    elif config.experiment == "img_only":
+        dataset = "CXR14"
+    else:
+        dataset = config.dataset
     loaders = build_dataloaders(
         dataset, config.data_dir, config.img_size, config.batch_size,
         config.num_workers, seed=config.seed,
@@ -160,8 +215,9 @@ def main(config: Config) -> None:
     for batch in loaders["train"].repeat():
         step += 1
         rng, sub = jax.random.split(rng)
+        x, cond = batch_to_x_cond(config, batch)
         params, opt_state, loss = train_step(
-            params, opt_state, batch["image"], batch["valid"], sub
+            params, opt_state, x, cond, batch["valid"], sub
         )
         train_losses.append(float(loss))
         imgs += int(batch["valid"].sum())
