@@ -127,6 +127,8 @@ class Config:
     param_sharding: str = "replicated"    # 'replicated' | 'tp' (shard wide convs over 'model' axis)
     use_pallas: bool = True               # fused Pallas kernels where available (TPU only)
     synthetic_data: bool = False          # deterministic synthetic CXR data (no image files needed)
+    profile_dir: Optional[str] = None     # jax.profiler trace output (steps ~10-15)
+    multihost: bool = False               # call jax.distributed.initialize() at startup
 
     # ---------------------------------------------------------------- helpers
 
@@ -274,6 +276,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["replicated", "tp"])
     p.add_argument("--no_pallas", action="store_true", help="disable Pallas kernels")
     p.add_argument("--synthetic_data", action="store_true")
+    p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host: jax.distributed.initialize() at startup")
     return p
 
 

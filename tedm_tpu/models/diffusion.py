@@ -214,6 +214,53 @@ def sample_loop_with_snapshots(
     return x_0, snaps
 
 
+def ddim_sample_loop(
+    apply_fn: ApplyFn,
+    sched: DiffusionSchedule,
+    rng: Array,
+    shape: Tuple[int, ...],
+    num_steps: int = 50,
+    eta: float = 0.0,
+    objective: str = "pred_noise",
+    dynamic_threshold_percentile: float = 0.995,
+    dtype=jnp.float32,
+) -> Array:
+    """DDIM sampling (Song et al. 2021) over ``num_steps`` of the T-step
+    schedule — a fast-sampling capability the reference lacks (it always
+    runs the full 1000 sequential steps, trainers/utils.py:85-88). One
+    jitted ``lax.scan``; eta=0 is deterministic given x_T."""
+    T = sched.num_timesteps
+    # evenly spaced subsequence, descending, ending at 0
+    ts = jnp.linspace(0.0, T - 1, num_steps).round().astype(jnp.int32)[::-1]
+    ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
+    rng, init_rng = jax.random.split(rng)
+    x_T = jax.random.normal(init_rng, shape, dtype=dtype)
+    step_rngs = jax.random.split(rng, num_steps)
+    a_bar = sched.alphas_cumprod
+
+    def body(x, inputs):
+        t, t_prev, r = inputs
+        tb = jnp.full((shape[0],), t, jnp.int32)
+        pred_noise, x_0 = model_predictions(apply_fn, sched, x, tb, objective)
+        x_0 = dynamic_threshold(x_0, dynamic_threshold_percentile)
+        # recompute noise consistent with the thresholded x_0
+        pred_noise = predict_noise_from_x0(sched, x, tb, x_0)
+        a_t = a_bar[t]
+        a_prev = jnp.where(t_prev >= 0, a_bar[jnp.maximum(t_prev, 0)], 1.0)
+        sigma = (
+            eta
+            * jnp.sqrt((1 - a_prev) / (1 - a_t))
+            * jnp.sqrt(1 - a_t / a_prev)
+        )
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * pred_noise
+        noise = jax.random.normal(r, shape, dtype=dtype)
+        x = jnp.sqrt(a_prev) * x_0 + dir_xt + sigma * noise * (t_prev >= 0)
+        return x.astype(dtype), None
+
+    x_0, _ = jax.lax.scan(body, x_T, (ts, ts_prev, step_rngs))
+    return x_0
+
+
 def train_loss(
     apply_fn: ApplyFn,
     sched: DiffusionSchedule,

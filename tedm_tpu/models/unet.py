@@ -202,6 +202,7 @@ class Attention(nn.Module):
     dim_head: int = 32
     scale: float = 16.0
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -216,11 +217,16 @@ class Attention(nn.Module):
             return t.reshape(b, h * w, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
         q, k, v = to_heads(q), to_heads(k), to_heads(v)
-        q = l2norm(q.astype(jnp.float32))
-        k = l2norm(k.astype(jnp.float32))
-        sim = jnp.einsum("bhid,bhjd->bhij", q, k) * self.scale
-        attn = jax.nn.softmax(sim, axis=-1)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(jnp.float32))
+        if self.use_pallas:
+            from tedm_tpu.ops.pallas.flash_attention import flash_cosine_attention
+
+            out = flash_cosine_attention(q, k, v, self.scale)  # l2norm fused
+        else:
+            q = l2norm(q.astype(jnp.float32))
+            k = l2norm(k.astype(jnp.float32))
+            sim = jnp.einsum("bhid,bhjd->bhij", q, k) * self.scale
+            attn = jax.nn.softmax(sim, axis=-1)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(jnp.float32))
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, hidden).astype(self.dtype)
         return nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="to_out")(out)
 
@@ -318,7 +324,11 @@ class Unet(nn.Module):
 
         mid_dim = dims[-1]
         self.mid_block1 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype)
-        self.mid_attn = PreNormAttn(mid_dim, Attention(mid_dim, dtype=self.dtype), self.dtype)
+        self.mid_attn = PreNormAttn(
+            mid_dim,
+            Attention(mid_dim, dtype=self.dtype, use_pallas=self.use_pallas),
+            self.dtype,
+        )
         self.mid_block2 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype)
 
         ups = []

@@ -1,0 +1,156 @@
+"""Blockwise (flash-style) cosine-similarity attention Pallas kernel.
+
+The reference's mid-stage Attention (models/unet_model.py:213-241) is
+quadratic softmax attention over l2-normalized q/k with a fixed scale of
+16. At 128² inputs the mid sequence is only 16·16=256 tokens, but the
+quadratic cost is what caps resolution scaling (SURVEY §5: 256² → N=1024,
+512² → N=4096). This kernel computes it blockwise with the online-softmax
+recurrence so the N×N score matrix never materializes in HBM, with the
+l2 normalization fused in.
+
+Layout: the kernel works in (d, N) — sequence in the 128-lane dimension,
+head dim (32) in sublanes. The naive (N, d) layout puts d=32 in lanes,
+which Mosaic pads 4× and keeps whole arrays VMEM-resident (observed
+VMEM OOM at N=4096). Scores are (Bq, Bk) tiles — both MXU-friendly.
+
+Forward is the Pallas kernel; the backward pass recomputes through the
+jnp reference implementation's VJP (same math, exact gradients) —
+attention is a tiny fraction of this model's FLOPs, so a fused backward
+kernel is not worth the complexity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _l2norm_d(x: Array, eps: float = 1e-12) -> Array:
+    """Normalize over the leading (head-dim) axis of a (d, n) tile."""
+    n = jnp.sqrt(jnp.sum(x * x, axis=0, keepdims=True))
+    return x / jnp.maximum(n, eps)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
+    # q_ref: (1, d, Bq); k_ref/v_ref: (1, d, N); o_ref: (1, d, Bq)
+    q = _l2norm_d(q_ref[0].astype(jnp.float32)) * scale      # (d, Bq)
+    d, bq = q.shape
+    n = k_ref.shape[2]
+    acc = jnp.zeros((d, bq), jnp.float32)
+    m = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    for j in range(pl.cdiv(n, block_k)):
+        kb = _l2norm_d(k_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32))
+        vb = v_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32)
+        # s[i, j] = sum_d q[d, i] k[d, j]
+        s = jax.lax.dot_general(
+            q, kb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Bq, Bk)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)                                # (Bq, Bk)
+        alpha = jnp.exp(m - m_new)                            # (Bq, 1)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        # acc[e, i] = acc[e, i]*alpha[i] + sum_j v[e, j] p[i, j]
+        pv = jax.lax.dot_general(
+            vb, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (d, Bq)
+        acc = acc * alpha.reshape(1, bq) + pv
+        m = m_new
+    o_ref[0] = (acc / l.reshape(1, bq)).astype(o_ref.dtype)
+
+
+def _flash_pallas(q, k, v, scale: float, block_q: int, block_k: int, interpret: bool):
+    """q, k, v: (BH, d, N)."""
+    bh, d, n = q.shape
+    bq = min(block_q, n)
+    grid = (bh, pl.cdiv(n, bq))
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, block_k=min(block_k, n)),
+        out_shape=jax.ShapeDtypeStruct((bh, d, n), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, bq), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, d, bq), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * n * n * d,
+            bytes_accessed=4 * bh * n * d * 4,
+            transcendentals=bh * n * n,
+        ),
+    )(q, k, v)
+
+
+def cosine_attention_reference(q: Array, k: Array, v: Array, scale: float) -> Array:
+    """jnp reference: l2norm q/k, scaled dot product, softmax over keys
+    (reference math: models/unet_model.py:230-239). Layout (BH, N, d)."""
+    def l2n(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+    qf = l2n(q.astype(jnp.float32)) * scale
+    kf = l2n(k.astype(jnp.float32))
+    sim = jnp.einsum("bid,bjd->bij", qf, kf)
+    attn = jax.nn.softmax(sim, axis=-1)
+    return jnp.einsum("bij,bjd->bid", attn, v.astype(jnp.float32)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_bhdn(q, k, v, scale: float, interpret: bool):
+    return _flash_pallas(q, k, v, scale, 512, 512, interpret)
+
+
+def _flash_fwd(q, k, v, scale, interpret):
+    return _flash_pallas(q, k, v, scale, 512, 512, interpret), (q, k, v)
+
+
+def _flash_bwd(scale, interpret, res, g):
+    q, k, v = res  # (BH, d, N)
+    t = lambda x: x.transpose(0, 2, 1)
+
+    def ref(a, b, c):
+        return t(cosine_attention_reference(t(a), t(b), t(c), scale))
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+_flash_bhdn.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_cosine_attention(
+    q: Array, k: Array, v: Array, scale: float, interpret: Optional[bool] = None
+) -> Array:
+    """(B, heads, N, d) fused blockwise attention; falls back to the jnp
+    reference path off-TPU."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, n, d = q.shape
+    if interpret:
+        flat = lambda t: t.reshape(b * h, n, d)
+        return cosine_attention_reference(flat(q), flat(k), flat(v), scale).reshape(
+            b, h, n, d
+        )
+    # kernel layout (BH, d, N)
+    to_dn = lambda t: t.reshape(b * h, n, d).transpose(0, 2, 1)
+    out = _flash_bhdn(to_dn(q), to_dn(k), to_dn(v), float(scale), False)
+    return out.transpose(0, 2, 1).reshape(b, h, n, d)
+
+
+def flash_cosine_attention_interpret(q, k, v, scale: float):
+    """Force the Pallas kernel through the interpreter (CPU tests)."""
+    b, h, n, d = q.shape
+    to_dn = lambda t: t.reshape(b * h, n, d).transpose(0, 2, 1)
+    out = _flash_bhdn(to_dn(q), to_dn(k), to_dn(v), float(scale), True)
+    return out.transpose(0, 2, 1).reshape(b, h, n, d)

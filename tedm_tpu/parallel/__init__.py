@@ -17,4 +17,5 @@ from tedm_tpu.parallel.mesh import (
     replicated_sharding,
     param_shardings,
     shard_batch,
+    data_parallel_setup,
 )

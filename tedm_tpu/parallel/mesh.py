@@ -94,6 +94,44 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def data_parallel_setup(config, batch_size: int):
+    """Trainer-side DP wiring: returns (shard_batch_fn, put_replicated_fn).
+
+    With >1 device and a divisible batch, builds the mesh from
+    config.mesh_shape/mesh_axes (default: all devices on 'data'), shards
+    array leading axes over 'data' and replicates params; otherwise both
+    functions are identity (single chip, or indivisible batch — the
+    divisibility constraint is fundamental to even SPMD sharding)."""
+    import jax as _jax
+
+    n_dev = _jax.device_count()
+    if n_dev <= 1:
+        return (lambda x: x), (lambda x: x)
+    if batch_size % n_dev != 0:
+        print(f"[parallel] batch {batch_size} not divisible by {n_dev} devices; "
+              "running replicated (pad batch or adjust --batch_size to shard)")
+        return (lambda x: x), (lambda x: x)
+    mesh = make_mesh(tuple(config.mesh_shape), tuple(config.mesh_axes))
+    b_sh = batch_sharding(mesh)
+    r_sh = replicated_sharding(mesh)
+
+    def shard(tree):
+        # Only arrays with the global batch as leading dim are sharded;
+        # everything else (PRNG keys, dummy conds, scalars) replicates.
+        return _jax.tree_util.tree_map(
+            lambda x: _jax.device_put(
+                x, b_sh if getattr(x, "ndim", 0) >= 1 and x.shape[0] == batch_size
+                else r_sh,
+            ),
+            tree,
+        )
+
+    def replicate(tree):
+        return _jax.device_put(tree, r_sh)
+
+    return shard, replicate
+
+
 def local_batch_slice(global_batch: int, mesh: Mesh, axis: str = "data") -> Tuple[int, int]:
     """(start, size) of this host's shard of the global batch — the per-host
     sharded-loading contract for the input pipeline."""

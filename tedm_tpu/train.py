@@ -42,6 +42,12 @@ def dispatch(config: Config) -> None:
         mains["glob_loc_finetune"] = contrastive.main_finetune
     if config.experiment not in mains:
         raise ValueError(f"unknown experiment {config.experiment}")
+    if config.multihost:
+        import jax
+
+        jax.distributed.initialize()
+        print(f"multihost: process {jax.process_index()}/{jax.process_count()}, "
+              f"{jax.device_count()} global devices")
     print(f"Experiment folder: {config.log_dir}")
     mains[config.experiment](config)
 

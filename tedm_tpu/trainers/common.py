@@ -164,6 +164,30 @@ def train_segmentation(
     opt_state = tx.init(params)
     train_step = make_train_step(task, tx)
 
+    # Warm restart (reference: --resume_path, config.py:16; the reference's
+    # supervised trainers lacked this — its finetune/local_cl load() raise
+    # NotImplementedError, SURVEY §5).
+    if config.resume_path:
+        from tedm_tpu.utils.checkpoint import checkpoint_exists, load_checkpoint
+
+        if checkpoint_exists(config.resume_path):
+            template = {"params": params, "batch_stats": batch_stats,
+                        "opt_state": opt_state, "step": 0,
+                        **(extra_ckpt_state or {})}
+            restored, _ = load_checkpoint(config.resume_path, template, config)
+            params = restored["params"]
+            batch_stats = restored["batch_stats"]
+            opt_state = restored["opt_state"]
+            start_step = int(restored["step"])
+            print(f"Resumed from {config.resume_path} at step {start_step}")
+
+    from tedm_tpu.parallel import data_parallel_setup
+
+    shard, replicate = data_parallel_setup(config, loaders["train"].batch_size)
+    params = replicate(params)
+    batch_stats = replicate(batch_stats)
+    opt_state = replicate(opt_state)
+
     rng = jax.random.PRNGKey(config.seed)
     best_val_loss = float("inf")
     train_losses: List[float] = []
@@ -175,10 +199,17 @@ def train_segmentation(
     for batch in loaders["train"].repeat():
         step += 1
         rng, sub = jax.random.split(rng)
+        if config.profile_dir and step == 10:
+            jax.profiler.start_trace(config.profile_dir)
+        b = shard({"image": batch["image"], "mask": batch["mask"],
+                   "valid": batch["valid"]})
         params, batch_stats, opt_state, loss, per_fold = train_step(
             params, batch_stats, opt_state,
-            batch["image"], batch["mask"], batch["valid"], sub,
+            b["image"], b["mask"], b["valid"], sub,
         )
+        if config.profile_dir and step == 15:
+            jax.block_until_ready(loss)
+            jax.profiler.stop_trace()
         train_losses.append(float(loss))
         fold_losses.append(np.asarray(per_fold))
         imgs_seen += int(batch["valid"].sum())

@@ -209,16 +209,29 @@ def main(config: Config) -> None:
     logger = MetricsLogger(config.log_dir, config, enabled=not config.debug)
     train_step, eval_step, sample_grid = make_steps(config, unet, sched, tx)
 
+    # DP over the mesh: params replicated, batches sharded on 'data'
+    # (GSPMD inserts the gradient psum over ICI).
+    from tedm_tpu.parallel import data_parallel_setup
+
+    shard, replicate = data_parallel_setup(config, loaders["train"].batch_size)
+    params, opt_state = replicate(params), replicate(opt_state)
+
     best_val_loss = float("inf")
     train_losses = []
     t0, imgs = time.time(), 0
     for batch in loaders["train"].repeat():
         step += 1
         rng, sub = jax.random.split(rng)
+        if config.profile_dir and step == 10:
+            jax.profiler.start_trace(config.profile_dir)
         x, cond = batch_to_x_cond(config, batch)
+        sharded = shard({"x": x, "cond": cond, "valid": batch["valid"]})
         params, opt_state, loss = train_step(
-            params, opt_state, x, cond, batch["valid"], sub
+            params, opt_state, sharded["x"], sharded["cond"], sharded["valid"], sub
         )
+        if config.profile_dir and step == 15:
+            jax.block_until_ready(loss)
+            jax.profiler.stop_trace()
         train_losses.append(float(loss))
         imgs += int(batch["valid"].sum())
 
