@@ -222,8 +222,12 @@ class Attention(nn.Module):
 
             out = flash_cosine_attention(q, k, v, self.scale)  # l2norm fused
         else:
-            q = l2norm(q.astype(jnp.float32))
-            k = l2norm(k.astype(jnp.float32))
+            # The reference l2norm runs over dim=-1 of its (b, h, d, n)
+            # layout — i.e. over the SPATIAL axis, not the head dim
+            # (models/unet_model.py:21-23,234; verified by weight-port
+            # parity). In our (b, heads, n, d) layout that is axis=2.
+            q = l2norm(q.astype(jnp.float32), axis=2)
+            k = l2norm(k.astype(jnp.float32), axis=2)
             sim = jnp.einsum("bhid,bhjd->bhij", q, k) * self.scale
             attn = jax.nn.softmax(sim, axis=-1)
             out = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(jnp.float32))
@@ -324,10 +328,14 @@ class Unet(nn.Module):
 
         mid_dim = dims[-1]
         self.mid_block1 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype)
+        # Mid attention stays on the XLA path: the Pallas flash kernel was
+        # measured 2-5x SLOWER on v5e at N=1024..4096 (d=32 contractions
+        # underfill the MXU; XLA's batched einsum wins until the N x N
+        # scores no longer fit HBM comfortably, ~N>=16k). The kernel
+        # remains available (ops/pallas/flash_attention.py) for extreme
+        # resolutions.
         self.mid_attn = PreNormAttn(
-            mid_dim,
-            Attention(mid_dim, dtype=self.dtype, use_pallas=self.use_pallas),
-            self.dtype,
+            mid_dim, Attention(mid_dim, dtype=self.dtype), self.dtype
         )
         self.mid_block2 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype)
 

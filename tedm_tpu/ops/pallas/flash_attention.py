@@ -33,58 +33,82 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _l2norm_d(x: Array, eps: float = 1e-12) -> Array:
-    """Normalize over the leading (head-dim) axis of a (d, n) tile."""
-    n = jnp.sqrt(jnp.sum(x * x, axis=0, keepdims=True))
-    return x / jnp.maximum(n, eps)
+def _row_norms(x: Array, eps: float = 1e-12) -> Array:
+    """Per-channel l2 norms over the sequence axis of a (d, N) row — the
+    reference normalizes q/k over the SPATIAL dim (its (b,h,d,n) layout,
+    F.normalize(dim=-1), models/unet_model.py:21-23,234)."""
+    return jnp.maximum(jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True)), eps)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
-    # q_ref: (1, d, Bq); k_ref/v_ref: (1, d, N); o_ref: (1, d, Bq)
-    q = _l2norm_d(q_ref[0].astype(jnp.float32)) * scale      # (d, Bq)
-    d, bq = q.shape
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                  block_q: int, block_k: int):
+    # all refs: (1, d, N). One (batch*head) row per program; the q axis is
+    # tiled by an inner loop (not a second grid dim — a 2D grid made the
+    # axon AOT path constrain whole operands to VMEM and OOM).
+    d = q_ref.shape[1]
     n = k_ref.shape[2]
-    acc = jnp.zeros((d, bq), jnp.float32)
-    m = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l = jnp.zeros((bq, 1), jnp.float32)
-    for j in range(pl.cdiv(n, block_k)):
-        kb = _l2norm_d(k_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32))
-        vb = v_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.float32)
-        # s[i, j] = sum_d q[d, i] k[d, j]
-        s = jax.lax.dot_general(
-            q, kb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (Bq, Bk)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)                                # (Bq, Bk)
-        alpha = jnp.exp(m - m_new)                            # (Bq, 1)
-        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        # acc[e, i] = acc[e, i]*alpha[i] + sum_j v[e, j] p[i, j]
-        pv = jax.lax.dot_general(
-            vb, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (d, Bq)
-        acc = acc * alpha.reshape(1, bq) + pv
-        m = m_new
-    o_ref[0] = (acc / l.reshape(1, bq)).astype(o_ref.dtype)
+    bq, bk = block_q, block_k
+    # spatial-axis norms need the whole row; rows are VMEM-resident anyway
+    qn = _row_norms(q_ref[0].astype(jnp.float32))             # (d, 1)
+    kn = _row_norms(k_ref[0].astype(jnp.float32))
+
+    def outer(i, _):
+        q = (
+            q_ref[0, :, pl.ds(i * bq, bq)].astype(jnp.float32) / qn
+        ) * scale                                             # (d, Bq)
+
+        def inner(j, carry):
+            acc, m, l = carry
+            kb = k_ref[0, :, pl.ds(j * bk, bk)].astype(jnp.float32) / kn
+            vb = v_ref[0, :, pl.ds(j * bk, bk)].astype(jnp.float32)
+            # s[a, b] = sum_d q[d, a] k[d, b]
+            s = jax.lax.dot_general(
+                q, kb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (Bq, Bk)
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)                            # (Bq, Bk)
+            alpha = jnp.exp(m - m_new)                        # (Bq, 1)
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            # acc[e, a] = acc[e, a]*alpha[a] + sum_b v[e, b] p[a, b]
+            pv = jax.lax.dot_general(
+                vb, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (d, Bq)
+            return acc * alpha.reshape(1, bq) + pv, m_new, l
+
+        acc, m, l = jax.lax.fori_loop(
+            0, pl.cdiv(n, bk),
+            inner,
+            (
+                jnp.zeros((d, bq), jnp.float32),
+                jnp.full((bq, 1), NEG_INF, jnp.float32),
+                jnp.zeros((bq, 1), jnp.float32),
+            ),
+        )
+        o_ref[0, :, pl.ds(i * bq, bq)] = (acc / l.reshape(1, bq)).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, pl.cdiv(n, bq), outer, 0)
 
 
 def _flash_pallas(q, k, v, scale: float, block_q: int, block_k: int, interpret: bool):
     """q, k, v: (BH, d, N)."""
     bh, d, n = q.shape
-    bq = min(block_q, n)
-    grid = (bh, pl.cdiv(n, bq))
+    spec = pl.BlockSpec((1, d, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=min(block_k, n)),
-        out_shape=jax.ShapeDtypeStruct((bh, d, n), q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, d, bq), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, d, bq), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        functools.partial(
+            _flash_kernel, scale=scale,
+            block_q=min(block_q, n), block_k=min(block_k, n),
         ),
+        out_shape=jax.ShapeDtypeStruct((bh, d, n), q.dtype),
+        grid=(bh,),
+        in_specs=[spec] * 3,
+        out_specs=spec,
         interpret=interpret,
+        # the default 16M scoped-vmem budget under-counts reuse of the
+        # loop-tile intermediates; raise it (verified OK on v5e)
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * n * n * d,
             bytes_accessed=4 * bh * n * d * 4,
@@ -94,10 +118,12 @@ def _flash_pallas(q, k, v, scale: float, block_q: int, block_k: int, interpret: 
 
 
 def cosine_attention_reference(q: Array, k: Array, v: Array, scale: float) -> Array:
-    """jnp reference: l2norm q/k, scaled dot product, softmax over keys
-    (reference math: models/unet_model.py:230-239). Layout (BH, N, d)."""
-    def l2n(x):
-        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    """jnp reference: l2norm q/k over the SPATIAL axis (the reference's
+    F.normalize(dim=-1) on a (b,h,d,n) layout, models/unet_model.py:21-23),
+    scaled dot product over d, softmax over keys
+    (models/unet_model.py:230-239). Layout here: (BH, N, d)."""
+    def l2n(x):  # normalize over N (axis -2 in this layout)
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-2, keepdims=True), 1e-12)
 
     qf = l2n(q.astype(jnp.float32)) * scale
     kf = l2n(k.astype(jnp.float32))
@@ -142,9 +168,13 @@ def flash_cosine_attention(
         return cosine_attention_reference(flat(q), flat(k), flat(v), scale).reshape(
             b, h, n, d
         )
-    # kernel layout (BH, d, N)
+    # kernel layout (BH, d, N). The optimization barrier materializes the
+    # transposes in HBM: otherwise XLA folds them into the custom call's
+    # operand layouts, which forces the WHOLE operands into VMEM
+    # (observed scoped-vmem OOM at N>=1024).
     to_dn = lambda t: t.reshape(b * h, n, d).transpose(0, 2, 1)
-    out = _flash_bhdn(to_dn(q), to_dn(k), to_dn(v), float(scale), False)
+    qd, kd, vd = jax.lax.optimization_barrier((to_dn(q), to_dn(k), to_dn(v)))
+    out = _flash_bhdn(qd, kd, vd, float(scale), False)
     return out.transpose(0, 2, 1).reshape(b, h, n, d)
 
 
