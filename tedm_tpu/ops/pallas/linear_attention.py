@@ -126,6 +126,9 @@ def _fwd_pallas(q: Array, k: Array, v: Array, scale: float, interpret: bool) -> 
         in_specs=[_spec(d, n)] * 3,
         out_specs=_spec(d, n),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024  # fp32 rows at N=16k need >16M
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * d * d * n, bytes_accessed=4 * bh * d * n * 4, transcendentals=2 * bh * d * n
         ),
@@ -142,6 +145,9 @@ def _bwd_pallas(q, k, v, g, scale: float, interpret: bool):
         in_specs=[_spec(d, n)] * 4,
         out_specs=[_spec(d, n)] * 3,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         cost_estimate=pl.CostEstimate(
             flops=10 * bh * d * d * n, bytes_accessed=7 * bh * d * n * 4, transcendentals=2 * bh * d * n
         ),
