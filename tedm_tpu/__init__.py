@@ -12,8 +12,10 @@ evaluation harnesses, and serving — built TPU-first:
   host round-trips), fused with the pixel classifier in one jit;
 * data-parallel (and optionally tensor-parallel) execution over a
   ``jax.sharding.Mesh`` with XLA collectives;
-* Pallas kernels for the hot fused ops (GroupNorm+FiLM+SiLU, linear
-  attention).
+* Pallas kernels as the native layer: fused linear attention (fwd +
+  analytic VJP) and blockwise flash cosine attention for extreme
+  resolutions (elementwise chains like GroupNorm+FiLM+SiLU are left to
+  XLA, which was measured to fuse them at parity with hand kernels).
 """
 
 __version__ = "0.1.0"
