@@ -173,6 +173,10 @@ class Config:
     def apply_experiment_preset(self) -> "Config":
         """Post-parse mutations the reference dispatcher applies (train.py:23-48)."""
         c = self.replace(normalize=True, channels=1, out_channels=1)
+        if c.experiment == "JSRT_baseline":
+            # the reference README documents this name but its parser only
+            # accepts 'baseline' (README.md:24 vs config.py:19-29)
+            c = c.replace(experiment="baseline")
         exp = c.experiment
         if exp == "LEDM":
             c = c.replace(t_steps_to_save=(50, 150, 250))
@@ -230,7 +234,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16 compute on TPU (actually functional, unlike reference AMP)")
     p.add_argument("--resume_path", type=str, default=None)
     p.add_argument("--experiment", type=str, default=defaults.experiment,
-                   choices=list(EXPERIMENTS))
+                   choices=list(EXPERIMENTS) + ["JSRT_baseline"])
     p.add_argument("--dataset", type=str, default=defaults.dataset, choices=list(DATASETS))
     p.add_argument("--img_size", type=int, default=defaults.img_size)
     p.add_argument("--data_dir", type=str, default=None)
