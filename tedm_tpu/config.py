@@ -129,6 +129,9 @@ class Config:
     synthetic_data: bool = False          # deterministic synthetic CXR data (no image files needed)
     profile_dir: Optional[str] = None     # jax.profiler trace output (steps ~10-15)
     multihost: bool = False               # call jax.distributed.initialize() at startup
+    remat: bool = False                   # rematerialize the UNet fwd in backward
+                                          # (trade ~1 extra fwd for O(1) activation memory;
+                                          # enables larger batch/resolution)
 
     # ---------------------------------------------------------------- helpers
 
@@ -283,6 +286,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--multihost", action="store_true",
                    help="multi-host: jax.distributed.initialize() at startup")
+    p.add_argument("--remat", action="store_true",
+                   help="activation rematerialization for the UNet forward")
     return p
 
 

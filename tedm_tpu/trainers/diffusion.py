@@ -94,8 +94,15 @@ def make_steps(config: Config, unet: Unet, sched, tx):
                 return unet.apply(
                     {"params": params}, jnp.concatenate([x, c], axis=-1), t, **kw
                 )
-            return apply
-        return lambda x, t, **kw: unet.apply({"params": params}, x, t, **kw)
+        else:
+            def apply(x, t, **kw):
+                return unet.apply({"params": params}, x, t, **kw)
+        if config.remat:
+            # store only (x_t, t); recompute activations in backward —
+            # trades one extra fwd for O(1) activation memory
+            # (SURVEY north star: jax.checkpoint to trade FLOPs for HBM).
+            return jax.checkpoint(apply)
+        return apply
 
     def loss_fn(params, x, cond, valid, rng):
         return train_loss(
