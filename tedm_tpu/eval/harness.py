@@ -168,16 +168,25 @@ def predict_conditional_dataset(
     return np.concatenate(y_hats), np.concatenate(y_stars)
 
 
-def predict_dataset(
-    task, state, loader, rng, fold: int = 1
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Sigmoid predictions over a loader. Returns (y_hat, y_star) with
-    y_hat (fold*N, H, W, C) folded step-major when fold > 1."""
+def make_predict_fn(task):
+    """Jitted sigmoid forward — build ONCE per experiment and reuse across
+    datasets (a fresh closure per dataset would recompile 4x)."""
 
     @jax.jit
     def fwd(params, bs, x, r):
         logits, _ = task.apply(params, bs, x, r, False)
         return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    return fwd
+
+
+def predict_dataset(
+    task, state, loader, rng, fold: int = 1, fwd=None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sigmoid predictions over a loader. Returns (y_hat, y_star) with
+    y_hat (fold*N, H, W, C) folded step-major when fold > 1."""
+    if fwd is None:
+        fwd = make_predict_fn(task)
 
     y_hats, y_stars = [], []
     for batch in loader:

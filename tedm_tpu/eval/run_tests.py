@@ -63,6 +63,9 @@ def evaluate_experiment(
         task = state = None
     else:
         config, state, task = load_experiment(exp_dir)
+        from tedm_tpu.eval.harness import make_predict_fn
+
+        fwd = make_predict_fn(task)
     loaders = build_test_loaders(config, nih_path, mon_path)
     rng = jax.random.PRNGKey(config.seed + 777)
 
@@ -82,7 +85,9 @@ def evaluate_experiment(
                 config, params, unet, sched, loader, sub
             )
         else:
-            y_hat, y_star = predict_dataset(task, state, loader, sub, fold=task.fold)
+            y_hat, y_star = predict_dataset(
+                task, state, loader, sub, fold=task.fold, fwd=fwd
+            )
             if task.fold > 1:
                 y_hat = y_hat.mean(axis=0)  # ensemble over timesteps (app.py:79)
         out = compute_output(y_hat, y_star)

@@ -40,6 +40,9 @@ def evaluate_shared_weights(
         raise ValueError(f"Experiment {config.experiment} not recognized "
                          "(expected a shared-weights TEDM checkpoint)")
     t_steps = tuple(config.t_steps_to_save)
+    from tedm_tpu.eval.harness import make_predict_fn
+
+    fwd = make_predict_fn(task)
     loaders = build_test_loaders(config, nih_path, mon_path)
     rng = jax.random.PRNGKey(config.seed + 778)
     results = {}
@@ -50,7 +53,9 @@ def evaluate_shared_weights(
             continue
         print(f"Testing {key} set")
         rng, sub = jax.random.split(rng)
-        y_hats, y_star = predict_dataset(task, state, loader, sub, fold=task.fold)
+        y_hats, y_star = predict_dataset(
+            task, state, loader, sub, fold=task.fold, fwd=fwd
+        )
         # y_hats: (S, N, H, W, C), step-major like the reference rearrange
         # '(b step) 1 h w -> step b 1 h w' (testing_shared_weights.py:120).
         for i, t in enumerate(t_steps):

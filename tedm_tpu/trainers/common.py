@@ -114,10 +114,15 @@ def validate(
     loader,
     rng: Array,
     return_preds: bool = False,
+    eval_step=None,
 ) -> Dict[str, Any]:
     """Reference validate (trainers/train_baseline.py:99-144): metrics with
-    nanmean over images; padding rows become NaN and drop out."""
-    eval_step = make_eval_step(task)
+    nanmean over images; padding rows become NaN and drop out.
+
+    Pass a prebuilt ``eval_step`` from the training loop — building it here
+    creates a fresh closure whose jit cache misses every call."""
+    if eval_step is None:
+        eval_step = make_eval_step(task)
     losses, weights, dices, precs, recs, preds = [], [], [], [], [], []
     for i, batch in enumerate(loader):
         rng, sub = jax.random.split(rng)
@@ -163,6 +168,8 @@ def train_segmentation(
     params, batch_stats = task.params, task.batch_stats
     opt_state = tx.init(params)
     train_step = make_train_step(task, tx)
+    eval_step = make_eval_step(task)  # built ONCE; re-jitting per validation
+                                      # would recompile every val_freq steps
 
     # Warm restart (reference: --resume_path, config.py:16; the reference's
     # supervised trainers lacked this — its finetune/local_cl load() raise
@@ -230,7 +237,8 @@ def train_segmentation(
 
         if step % config.val_freq == 0 or config.debug:
             rng, vrng = jax.random.split(rng)
-            val = validate(config, task, params, batch_stats, loaders["val"], vrng)
+            val = validate(config, task, params, batch_stats, loaders["val"], vrng,
+                           eval_step=eval_step)
             logger.log(val, step)
             state = {
                 "params": params,

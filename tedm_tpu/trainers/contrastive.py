@@ -303,7 +303,13 @@ class _AugmentedLoader:
 
 def _train_finetune_with_freeze(config, task, tx, frozen, loaders, logger):
     """Supervised loop variant with a step-gated gradient mask."""
-    from tedm_tpu.trainers.common import masked_bce_per_image, validate
+    from tedm_tpu.trainers.common import (
+        make_eval_step,
+        masked_bce_per_image,
+        validate,
+    )
+
+    eval_step = make_eval_step(task)
 
     params, batch_stats = task.params, task.batch_stats
     opt_state = tx.init(params)
@@ -346,7 +352,8 @@ def _train_finetune_with_freeze(config, task, tx, frozen, loaders, logger):
             train_losses = []
         if step % config.val_freq == 0 or config.debug:
             rng, vrng = jax.random.split(rng)
-            val = validate(config, task, params, batch_stats, loaders["val"], vrng)
+            val = validate(config, task, params, batch_stats, loaders["val"], vrng,
+                           eval_step=eval_step)
             logger.log(val, step)
             state = {"params": params, "batch_stats": batch_stats,
                      "opt_state": opt_state, "step": step}
