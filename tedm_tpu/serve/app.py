@@ -186,6 +186,27 @@ ABSTRACT = (
 )
 
 
+def write_example_images(out_dir: str, n: int = 12, img_size: int = IMG_SIZE):
+    """Synthetic example CXR PNGs for the demo (the reference ships 12
+    NIH examples, app.py:168-181; those images are licensed, so the demo
+    generates stand-ins)."""
+    import os
+
+    from PIL import Image
+
+    from tedm_tpu.data.datasets import SyntheticCXRDataset
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds = SyntheticCXRDataset("demo", n, img_size, labelled=False)
+    paths = []
+    for i in range(n):
+        arr = (ds[i][:, :, 0] * 255).astype(np.uint8)
+        p = os.path.join(out_dir, f"example_{i:02d}.png")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    return paths
+
+
 def launch(logs_root: str = "logs", share: bool = False):
     """Gradio UI (reference: app.py:155-191). Requires gradio."""
     try:
@@ -195,6 +216,11 @@ def launch(logs_root: str = "logs", share: bool = False):
             "gradio is not installed in this environment; use "
             "tedm_tpu.serve.app.predict(...) for headless serving"
         ) from e
+    import tempfile
+
+    examples = write_example_images(
+        os.path.join(tempfile.gettempdir(), "tedm_tpu_examples")
+    )
     predictor = Predictor(logs_root)
 
     def fn(img, models, sizes, seg):
@@ -212,6 +238,7 @@ def launch(logs_root: str = "logs", share: bool = False):
                               "segmentation)", value=True),
         ],
         outputs=gr.Image(label="Segmentation"),
+        examples=[[p] for p in examples],
         title="Chest X-ray Segmentation with TEDM (TPU)",
         description=ABSTRACT,
         cache_examples=False,
