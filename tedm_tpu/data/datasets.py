@@ -173,6 +173,14 @@ class SyntheticCXRDataset:
         self.img_size = img_size
         self.has_labels = labelled
         self.seed = seed
+        # shared per-instance constants (recomputing the meshgrid and body
+        # background per image made the host pipeline the training
+        # bottleneck: 114 imgs/s fed vs 262 imgs/s device capability)
+        s = img_size
+        self._yy, self._xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
+        self._body = 0.25 + 0.35 * np.exp(
+            -(((self._yy - 0.5) ** 2) / 0.5 + ((self._xx - 0.5) ** 2) / 0.25)
+        )
 
     def __len__(self) -> int:
         return self.n
@@ -182,9 +190,9 @@ class SyntheticCXRDataset:
         rs = np.random.RandomState(
             (hash((self.split, self.seed)) % (2**31 - 1)) + 1000003 * index
         )
-        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s  # [0,1]²
+        yy, xx = self._yy, self._xx
 
-        img = 0.25 + 0.35 * np.exp(-(((yy - 0.5) ** 2) / 0.5 + ((xx - 0.5) ** 2) / 0.25))
+        img = self._body.copy()
         mask = np.zeros((s, s), np.float32)
         for side in (-1.0, 1.0):
             cx = 0.5 + side * (0.21 + 0.03 * rs.randn())
