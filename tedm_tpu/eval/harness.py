@@ -138,8 +138,6 @@ def predict_conditional_dataset(
     per batch, ``n_runs`` independent full reverse-sampling trajectories of
     the segmentation conditioned on the image, averaged. Here each run is
     one jitted lax.scan instead of 1000 Python-level kernel launches."""
-    from functools import partial as _partial
-
     from tedm_tpu.models.diffusion import sample_loop
 
     @jax.jit
