@@ -186,10 +186,13 @@ class SyntheticCXRDataset:
         return self.n
 
     def __getitem__(self, index: int):
+        import zlib
+
         s = self.img_size
-        rs = np.random.RandomState(
-            (hash((self.split, self.seed)) % (2**31 - 1)) + 1000003 * index
-        )
+        # crc32, not hash(): str hashing is salted per process, which would
+        # break the documented cross-process/host determinism
+        base = zlib.crc32(f"{self.split}:{self.seed}".encode()) % (2**31 - 1)
+        rs = np.random.RandomState((base + 1000003 * index) % (2**31 - 1))
         yy, xx = self._yy, self._xx
 
         img = self._body.copy()

@@ -98,21 +98,42 @@ class Loader:
             batches = [b for b in batches if len(b) == self.batch_size]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
+        stop = threading.Event()
+        DONE, ERROR = "__done__", "__error__"
+
+        def _put(item) -> bool:
+            """Bounded put that aborts when the consumer is gone (an early
+            ``break`` in the consumer must not leak a blocked producer)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in batches:
-                    q.put(self._make_batch(b, pool))
-            q.put(sentinel)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in batches:
+                        if not _put((None, self._make_batch(b, pool))):
+                            return
+                _put((DONE, None))
+            except BaseException as e:  # surface dataset errors, never hang
+                _put((ERROR, e))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                kind, item = q.get()
+                if kind == DONE:
+                    break
+                if kind == ERROR:
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
     def repeat(self) -> Iterator[Dict[str, np.ndarray]]:
         """Infinite epoch stream (the reference's outer ``while True`` epoch

@@ -302,12 +302,14 @@ def val_loss(
     objective: str = "pred_noise",
     normalize: bool = True,
     fold_batch: int = 8,
+    valid: Optional[Array] = None,
 ) -> Array:
     """Mean loss over evenly-spaced timesteps
     (reference: models/diffusion_model.py:145-156). The reference loops over
     timesteps in Python; here the timesteps are folded into the batch axis in
     chunks of ``fold_batch`` and scanned — identical estimator, far fewer,
-    far larger device calls."""
+    far larger device calls. ``valid`` (B,) masks padded batch rows so eval
+    keeps static shapes (no per-tail recompiles)."""
     T = sched.num_timesteps
     step = T // t_steps
     t_values = jnp.arange(0, T, step)  # (S,)
@@ -315,10 +317,12 @@ def val_loss(
     n = x_0.shape[0]
     pad = (-S) % fold_batch
     t_padded = jnp.pad(t_values, (0, pad))
-    valid = jnp.pad(jnp.ones((S,), jnp.float32), (0, pad))
+    t_valid = jnp.pad(jnp.ones((S,), jnp.float32), (0, pad))
     t_chunks = t_padded.reshape(-1, fold_batch)
-    v_chunks = valid.reshape(-1, fold_batch)
+    v_chunks = t_valid.reshape(-1, fold_batch)
     rngs = jax.random.split(rng, t_chunks.shape[0])
+    row_w = jnp.ones((n,), jnp.float32) if valid is None else valid.astype(jnp.float32)
+    row_denom = jnp.maximum(row_w.sum(), 1.0)
 
     if normalize:
         x_0n = normalize_to_neg_one_to_one(x_0)
@@ -337,7 +341,8 @@ def val_loss(
         l = jnp.abs(out.astype(jnp.float32) - tgt.astype(jnp.float32))
         l = l.reshape(fold_batch * n, -1).mean(axis=1)
         l = l * sched.p2_loss_weight[t_rep]
-        per_t = l.reshape(fold_batch, n).mean(axis=1)  # mean over batch per t
+        # masked mean over batch per t (padding rows excluded)
+        per_t = (l.reshape(fold_batch, n) * row_w).sum(axis=1) / row_denom
         return carry + jnp.sum(per_t * v_chunk), None
 
     total, _ = jax.lax.scan(chunk_loss, jnp.float32(0.0), (t_chunks, v_chunks, rngs))

@@ -186,6 +186,29 @@ class LinearProbe(nn.Module):
         return acc + b
 
 
+def masked_feature_sums(
+    feats: List[Array], n_steps: int, valid: Array
+) -> Tuple[Array, Array, Array]:
+    """Per-channel (sum, sum-of-squares, count) over valid rows and space,
+    in the concatenated [step x stage x channel] order — building blocks
+    for the probe's standardization pre-pass that exclude the input
+    pipeline's zero-padded batch rows (reference pre-pass:
+    datasetDM_per_step.py:104-113 has no padding to worry about)."""
+    n_fold = feats[0].shape[0]
+    B = n_fold // n_steps
+    w = valid.reshape(B, 1, 1, 1).astype(jnp.float32)
+    sums, sqs, cnts = [], [], []
+    for s in range(n_steps):
+        for f in feats:
+            f_s = f.reshape(n_steps, B, *f.shape[1:])[s] if n_steps > 1 else f
+            f_s = f_s.astype(jnp.float32)
+            sums.append((f_s * w).sum(axis=(0, 1, 2)))
+            sqs.append((jnp.square(f_s) * w).sum(axis=(0, 1, 2)))
+            cnt = valid.sum() * f_s.shape[1] * f_s.shape[2]
+            cnts.append(jnp.full((f_s.shape[-1],), cnt, jnp.float32))
+    return jnp.concatenate(sums), jnp.concatenate(sqs), jnp.concatenate(cnts)
+
+
 def feature_moments(feats: List[Array], n_steps: int) -> Tuple[Array, Array]:
     """Per-channel mean/std over (batch, space) for the probe's
     standardization pre-pass (reference: datasetDM_per_step.py:104-113),

@@ -90,6 +90,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     jax.lax.fori_loop(0, pl.cdiv(n, bq), outer, 0)
 
 
+def _pick_block(n: int, target: int) -> int:
+    """Largest divisor of n that is <= target. The fori_loop tiles use
+    fixed-size pl.ds slices, so a non-divisor block would read/write past
+    the row end (cdiv overrun) and corrupt the online softmax."""
+    for d in range(min(target, n), 0, -1):
+        if n % d == 0:
+            return d
+    return n
+
+
 def _flash_pallas(q, k, v, scale: float, block_q: int, block_k: int, interpret: bool):
     """q, k, v: (BH, d, N)."""
     bh, d, n = q.shape
@@ -97,7 +107,7 @@ def _flash_pallas(q, k, v, scale: float, block_q: int, block_k: int, interpret: 
     return pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale,
-            block_q=min(block_q, n), block_k=min(block_k, n),
+            block_q=_pick_block(n, block_q), block_k=_pick_block(n, block_k),
         ),
         out_shape=jax.ShapeDtypeStruct((bh, d, n), q.dtype),
         grid=(bh,),

@@ -22,14 +22,17 @@ import numpy as np
 from jax import Array
 
 
+def _linear_betas_f64(
+    timesteps: int, start: float = 1e-4, end: float = 0.02
+) -> np.ndarray:
+    scale = 1000.0 / timesteps
+    return np.linspace(scale * start, scale * end, timesteps, dtype=np.float64)
+
+
 def linear_beta_schedule(timesteps: int, start: float = 1e-4, end: float = 0.02) -> Array:
     """Linearly spaced betas, scaled so any T matches T=1000 integrated noise
     (reference: models/diffusion_model.py:16-29)."""
-    scale = 1000.0 / timesteps
-    return jnp.asarray(
-        np.linspace(scale * start, scale * end, timesteps, dtype=np.float64),
-        dtype=jnp.float32,
-    )
+    return jnp.asarray(_linear_betas_f64(timesteps, start, end), dtype=jnp.float32)
 
 
 def _cosine_betas_f64(timesteps: int, s: float = 0.008) -> np.ndarray:
@@ -73,8 +76,7 @@ def make_schedule(
     p2_loss_weight_k: float = 1.0,
 ) -> DiffusionSchedule:
     if beta_schedule == "linear":
-        scale = 1000.0 / timesteps
-        betas = np.linspace(scale * 1e-4, scale * 0.02, timesteps, dtype=np.float64)
+        betas = _linear_betas_f64(timesteps)
     elif beta_schedule == "cosine":
         betas = _cosine_betas_f64(timesteps)
     else:

@@ -134,11 +134,8 @@ def data_parallel_setup(config, batch_size: int):
 
 def local_batch_slice(global_batch: int, mesh: Mesh, axis: str = "data") -> Tuple[int, int]:
     """(start, size) of this host's shard of the global batch — the per-host
-    sharded-loading contract for the input pipeline."""
-    n_shards = mesh.shape[axis]
-    per = global_batch // n_shards
-    # Hosts own contiguous slices ordered by process index.
+    sharded-loading contract for the input pipeline. Hosts own contiguous
+    slices ordered by process index."""
     idx = jax.process_index()
-    n_proc = jax.process_count()
-    per_host = global_batch // n_proc
+    per_host = global_batch // jax.process_count()
     return idx * per_host, per_host

@@ -34,7 +34,6 @@ from jax import Array
 
 from tedm_tpu.config import Config
 from tedm_tpu.ops import metrics as M
-from tedm_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
 from tedm_tpu.utils.checkpoint import save_checkpoint
 from tedm_tpu.utils.logging import MetricsLogger
 
@@ -80,9 +79,12 @@ def make_train_step(task: SegTask, tx: optax.GradientTransformation):
         )(params, batch_stats, x, y, valid, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        # per-fold mean loss (TEDM per-timestep logging,
-        # reference: train_baseline.py:56-58,70-73)
-        per_fold = per_img.reshape(task.fold, -1).mean(axis=1)
+        # per-fold masked mean loss (TEDM per-timestep logging,
+        # reference: train_baseline.py:56-58,70-73); padding rows excluded
+        w = valid.astype(jnp.float32)
+        per_fold = (per_img.reshape(task.fold, -1) * w).sum(axis=1) / jnp.maximum(
+            w.sum(), 1.0
+        )
         return params, new_bs, opt_state, loss, per_fold
 
     return step

@@ -65,14 +65,16 @@ def _train_cl(config: Config, model, variables, loss_of, grad_mask=None) -> None
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
 
-    def loss_fn(p, bs, x, rng):
+    def loss_fn(p, bs, x, rng, train):
         k_aug, k_loss = jax.random.split(rng)
         views = augment_and_concat(k_aug, x)
-        return loss_of(p, bs, views, k_loss)
+        return loss_of(p, bs, views, k_loss, train)
 
     @partial(jax.jit, donate_argnums=(0, 2))
     def train_step(p, bs, opt_state, x, rng):
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, bs, x, rng)
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, bs, x, rng, True
+        )
         if grad_mask is not None:
             grads = jax.tree_util.tree_map(jnp.multiply, grads, grad_mask)
         updates, opt_state = tx.update(grads, opt_state, p)
@@ -80,7 +82,9 @@ def _train_cl(config: Config, model, variables, loss_of, grad_mask=None) -> None
 
     @jax.jit
     def eval_step(p, bs, x, rng):
-        loss, _ = loss_fn(p, bs, x, rng)
+        # eval mode: BatchNorm running stats, no stat updates (the
+        # reference validate() calls model.eval(), train_local_cl.py)
+        loss, _ = loss_fn(p, bs, x, rng, False)
         return loss
 
     loaders = build_dataloaders(
@@ -138,7 +142,7 @@ def main_global(config: Config) -> None:
         jax.random.PRNGKey(config.seed),
         jnp.zeros((2, config.img_size, config.img_size, config.channels)),
     )
-    def loss_of(p, bs, views, rng):
+    def loss_of(p, bs, views, rng, train):
         feats = model.apply({"params": p}, views)
         return global_nt_xent(feats, views.shape[0] // 2, config.tau), bs
 
@@ -179,14 +183,19 @@ def main_local(config: Config) -> None:
         for k, v in variables["params"].items()
     }
 
-    def loss_of(p, bs, views, rng):
-        feats, upd = model.apply(
-            {"params": p, "batch_stats": bs}, views, train=True,
-            mutable=["batch_stats"],
-        )
+    def loss_of(p, bs, views, rng, train):
+        if train:
+            feats, upd = model.apply(
+                {"params": p, "batch_stats": bs}, views, train=True,
+                mutable=["batch_stats"],
+            )
+            new_bs = upd["batch_stats"]
+        else:
+            feats = model.apply({"params": p, "batch_stats": bs}, views, train=False)
+            new_bs = bs
         return (
             local_region_loss(rng, feats, views.shape[0] // 2, config.tau),
-            upd["batch_stats"],
+            new_bs,
         )
 
     _train_cl(config, model, variables, loss_of, grad_mask=mask)
@@ -288,6 +297,11 @@ class _AugmentedLoader:
     def __init__(self, loader, seed: int):
         self.loader = loader
         self._rng = jax.random.PRNGKey(seed + 12345)
+
+    def __getattr__(self, name):
+        # delegate Loader attributes (batch_size, indices, ...) so the
+        # shared loop's DP setup and logging see the wrapped loader
+        return getattr(self.loader, name)
 
     def __iter__(self):
         for b in self.loader:

@@ -117,10 +117,11 @@ def make_steps(config: Config, unet: Unet, sched, tx):
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def eval_step(params, x, cond, rng):
+    def eval_step(params, x, cond, valid, rng):
         return val_loss(
             apply_fn_of(params, cond), sched, rng, x, config.val_steps,
             objective=config.objective, normalize=config.normalize,
+            valid=valid,
         )
 
     @partial(jax.jit, static_argnums=(3,))
@@ -161,17 +162,15 @@ def validate(config, eval_step, sample_grid, params, loader, rng, logger, step):
     for i, batch in enumerate(loader):
         rng, sub = jax.random.split(rng)
         x, cond = batch_to_x_cond(config, batch)
-        # Reference val loss ignores padding; weight by valid rows.
-        w = int(batch["valid"].sum())
-        if w < len(batch["valid"]):  # drop padded rows (static alternative: mask)
-            x = x[:w]
-            cond = cond[:w] if cond.ndim > 1 else cond
-            if x.shape[0] == 0:
-                continue
+        # padded rows are masked inside val_loss (static shapes — slicing
+        # the tail would force a second multi-minute UNet compile)
+        w = float(batch["valid"].sum())
+        if w == 0:
+            continue
         if cond0 is None:
             cond0 = cond[:1] if cond.ndim > 1 else cond
-        losses.append(float(eval_step(params, x, cond, sub)) * x.shape[0])
-        weights.append(x.shape[0])
+        losses.append(float(eval_step(params, x, cond, batch["valid"], sub)) * w)
+        weights.append(w)
         if i + 1 == config.max_val_steps or config.debug:
             break
     rng, srng = jax.random.split(rng)

@@ -21,7 +21,7 @@ import numpy as np
 
 from tedm_tpu.config import Config
 from tedm_tpu.data import build_dataloaders
-from tedm_tpu.models.segmentation import LinearProbe, feature_moments
+from tedm_tpu.models.segmentation import LinearProbe, masked_feature_sums
 from tedm_tpu.trainers.common import SegTask, train_segmentation
 from tedm_tpu.trainers.datasetdm import load_backbone
 from tedm_tpu.models.segmentation import extract_features
@@ -55,21 +55,24 @@ def build_task(config: Config, rng, loaders) -> SegTask:
 
     stats = dict(pvars.get("stats", {}))
     if config.standardize_features:
-        # Full-dataset moments pre-pass (reference: datasetDM_per_step.py:104-113).
-        moments = jax.jit(
-            lambda x, r: feature_moments(features(backbone_params, x, r), S)
+        # Full-dataset moments pre-pass (reference: datasetDM_per_step.py:
+        # 104-113), with padded batch rows masked out of the sums.
+        sums_fn = jax.jit(
+            lambda x, v, r: masked_feature_sums(
+                features(backbone_params, x, r), S, v
+            )
         )
-        n, mean_acc, sq_acc = 0, None, None
+        sum_acc = sq_acc = cnt_acc = None
         for batch in loaders["train"]:
             rng_m, sub = jax.random.split(rng_m)
-            m, s = moments(batch["image"], sub)
-            w = float(batch["valid"].sum()) / len(batch["valid"])
-            mean_b, sq_b = np.asarray(m), np.asarray(s) ** 2 + np.asarray(m) ** 2
-            mean_acc = mean_b * w if mean_acc is None else mean_acc + mean_b * w
-            sq_acc = sq_b * w if sq_acc is None else sq_acc + sq_b * w
-            n += w
-        mean = mean_acc / n
-        std = np.sqrt(np.maximum(sq_acc / n - mean**2, 0.0)) + 1e-6
+            s_, q_, c_ = (np.asarray(a) for a in sums_fn(
+                batch["image"], batch["valid"], sub
+            ))
+            sum_acc = s_ if sum_acc is None else sum_acc + s_
+            sq_acc = q_ if sq_acc is None else sq_acc + q_
+            cnt_acc = c_ if cnt_acc is None else cnt_acc + c_
+        mean = sum_acc / cnt_acc
+        std = np.sqrt(np.maximum(sq_acc / cnt_acc - mean**2, 0.0)) + 1e-6
         stats = {"mean": jnp.asarray(mean), "std": jnp.asarray(std)}
 
     def apply(params, aux, x, rng, train):

@@ -75,6 +75,43 @@ def test_build_dataloaders_synthetic_jsrt():
     assert sum(int(b["valid"].sum()) for b in dls["test"]) == 25
 
 
+def test_loader_propagates_dataset_errors():
+    """A dataset error must raise in the consumer, not hang the queue."""
+
+    class Broken:
+        has_labels = False
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise OSError("corrupt image")
+            return np.zeros((8, 8, 1), np.float32)
+
+    loader = Loader(Broken(), batch_size=2, num_workers=1)
+    import pytest
+
+    with pytest.raises(OSError, match="corrupt image"):
+        list(loader)
+
+
+def test_loader_early_break_no_deadlock():
+    ds = SyntheticCXRDataset("train", 64, 16)
+    loader = Loader(ds, batch_size=4, num_workers=2, prefetch=1)
+    for _ in range(3):  # break early repeatedly; producer threads must stop
+        for i, b in enumerate(loader):
+            if i == 1:
+                break
+    import threading
+
+    # give producers a beat to notice the stop flag
+    import time as _t
+
+    _t.sleep(0.5)
+    assert threading.active_count() < 20
+
+
 def test_build_dataloaders_synthetic_cxr14():
     dls = build_dataloaders("CXR14", None, img_size=32, batch_size=64, num_workers=1)
     b = next(iter(dls["train"]))
