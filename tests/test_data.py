@@ -75,6 +75,17 @@ def test_build_dataloaders_synthetic_jsrt():
     assert sum(int(b["valid"].sum()) for b in dls["test"]) == 25
 
 
+def test_loader_order_deterministic_with_workers():
+    """The thread pool must not introduce batch-order or content races
+    (single producer; pool.map preserves item order)."""
+    ds = SyntheticCXRDataset("train", 20, 16)
+    a = [b["image"] for b in Loader(ds, batch_size=4, num_workers=4)]
+    b = [b["image"] for b in Loader(ds, batch_size=4, num_workers=1)]
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_loader_propagates_dataset_errors():
     """A dataset error must raise in the consumer, not hang the queue."""
 
