@@ -57,6 +57,32 @@ def test_param_shardings_tp_rules():
     assert all(s.spec == P() for s in jax.tree_util.tree_leaves(sh_rep))
 
 
+def test_tp_sharded_forward_matches_replicated():
+    """GSPMD TP sharding of wide kernels must not change results (beyond
+    reduction-order noise): same UNet loss on a ('data','model') mesh with
+    sharded params vs fully replicated."""
+    import jax.numpy as jnp
+
+    from tedm_tpu.models.unet import Unet
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    unet = Unet(dim=8, dim_mults=(1, 2), channels=1)
+    params = unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)), jnp.zeros((1,), jnp.int32)
+    )["params"]
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 1))
+    t = jnp.zeros((8,), jnp.int32)
+
+    def loss(p, x, t):
+        return jnp.mean(jnp.square(unet.apply({"params": p}, x, t)))
+
+    ref = float(jax.jit(loss)(params, x, t))
+    p_tp = jax.device_put(params, param_shardings(params, mesh, "tp", tp_min_width=16))
+    x_sh = jax.device_put(x, batch_sharding(mesh))
+    got = float(jax.jit(loss)(p_tp, x_sh, t))
+    assert abs(got - ref) < 1e-5 * max(abs(ref), 1.0)
+
+
 def test_shard_batch_places_on_data_axis():
     mesh = make_mesh()
     batch = {"image": np.zeros((16, 8, 8, 1), np.float32), "valid": np.ones((16,), np.float32)}
