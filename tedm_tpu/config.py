@@ -217,14 +217,23 @@ class Config:
         return len(self.t_steps_to_save)
 
 
-def diff_configs(old: Config, new: Config, printer=print) -> Dict[str, Tuple[Any, Any]]:
-    """Report changed keys between two configs (reference: trainers/utils.py:154-174)."""
-    c_old, c_new = old.to_dict(), new.to_dict()
+def diff_configs(old, new, printer=print) -> Dict[str, Tuple[Any, Any]]:
+    """Report changed/new/removed keys between two configs (reference:
+    trainers/utils.py:154-174). Accepts Config instances or raw dicts, so
+    checkpoints written by older framework versions diff cleanly."""
+    c_old = old.to_dict() if hasattr(old, "to_dict") else dict(old)
+    c_new = new.to_dict() if hasattr(new, "to_dict") else dict(new)
     changed: Dict[str, Tuple[Any, Any]] = {}
     for k, v in c_old.items():
         if k in c_new and c_new[k] != v:
             printer(f"{k} differs - old: {v} new: {c_new[k]}")
             changed[k] = (v, c_new[k])
+    for k, v in c_new.items():
+        if k not in c_old:
+            printer(f"{k} is new - {v}")
+    for k, v in c_old.items():
+        if k not in c_new:
+            printer(f"{k} is removed - {v}")
     return changed
 
 
