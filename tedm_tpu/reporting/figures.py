@@ -86,10 +86,48 @@ def qualitative_grid(
     print(f"wrote {out_path}")
 
 
+def comparison_grid(
+    exp_dirs: dict, out_path: str, dataset: str = "JSRT_test", n: int = 5
+) -> None:
+    """Side-by-side method comparison: one row per test image, columns =
+    ground truth + each method's thresholded prediction with its Dice
+    (the reference's multi-method qualitative figures,
+    visualisations.py:43-161)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    loaded = {}
+    for name, d in exp_dirs.items():
+        with np.load(os.path.join(d, f"{dataset}_predictions.npz")) as z:
+            loaded[name] = {k: z[k] for k in ("y_hat", "y_star", "dice")}
+    first = next(iter(loaded.values()))
+    n = min(n, len(first["y_star"]))
+    cols = 1 + len(loaded)
+    fig, axes = plt.subplots(n, cols, figsize=(2.2 * cols, 2.2 * n), squeeze=False)
+    for i in range(n):
+        axes[i][0].imshow(first["y_star"][i, ..., 0], cmap="gray")
+        axes[i][0].set_title("ground truth" if i == 0 else "")
+        for j, (name, out) in enumerate(loaded.items(), start=1):
+            axes[i][j].imshow((out["y_hat"][i, ..., 0] > 0.5), cmap="gray")
+            d = float(np.nanmean(out["dice"][i]))
+            axes[i][j].set_title(f"{name}" if i == 0 else "", fontsize=9)
+            axes[i][j].set_xlabel(f"dice {d:.2f}", fontsize=8)
+        for ax in axes[i]:
+            ax.set_xticks([]); ax.set_yticks([])
+    fig.tight_layout()
+    fig.savefig(out_path)
+    print(f"wrote {out_path}")
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("kind", choices=["boxplot", "grid"])
-    parser.add_argument("--experiment", "-e", type=str, required=True)
+    parser.add_argument("kind", choices=["boxplot", "grid", "compare"])
+    parser.add_argument("--experiment", "-e", type=str,
+                        help="experiment dir (boxplot/grid)")
+    parser.add_argument("--experiments", nargs="+", default=[],
+                        help="NAME=DIR pairs (compare)")
     parser.add_argument("--dataset", type=str, default="JSRT_test")
     parser.add_argument("--out", type=str, required=True)
     parser.add_argument("--metrics", nargs="+", default=["dice", "precision", "recall"])
@@ -97,8 +135,11 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     if args.kind == "boxplot":
         per_timestep_boxplot(args.experiment, args.out, args.dataset, args.metrics)
-    else:
+    elif args.kind == "grid":
         qualitative_grid(args.experiment, args.out, args.dataset, args.n)
+    else:
+        pairs = dict(p.split("=", 1) for p in args.experiments)
+        comparison_grid(pairs, args.out, args.dataset, args.n)
 
 
 if __name__ == "__main__":
