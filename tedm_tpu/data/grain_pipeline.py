@@ -1,0 +1,106 @@
+"""Optional grain-backed input pipeline.
+
+SURVEY §2.3 names grain/tf.data as the production per-host sharded
+loading path. The default thread-pool ``Loader`` already implements the
+framework's batch contract (static shapes + valid masks, seeded epoch
+shuffling, host sharding); this module provides the same contract on top
+of ``grain.MapDataset`` for deployments that want grain's worker
+processes, determinism guarantees, and checkpointable iterators.
+
+    loader = GrainLoader(dataset, batch_size=16, shuffle=True, seed=0,
+                         shard_index=jax.process_index(),
+                         shard_count=jax.process_count())
+    for batch in loader:          # {"image", ("mask",) "valid"}
+        ...
+
+Any dataset from tedm_tpu.data.datasets works (random-access __len__ /
+__getitem__ sources).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+
+class _Source:
+    """grain RandomAccessDataSource over our dataset objects."""
+
+    def __init__(self, dataset):
+        self._ds = dataset
+
+    def __len__(self) -> int:
+        return len(self._ds)
+
+    def __getitem__(self, i: int):
+        return self._ds[int(i)]
+
+
+class GrainLoader:
+    """Same interface/batch contract as tedm_tpu.data.pipeline.Loader."""
+
+    def __init__(
+        self,
+        dataset: Any,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        shard_index: int = 0,
+        shard_count: int = 1,
+        num_workers: int = 0,
+        subset: Optional[int] = None,
+    ):
+        import grain
+
+        self.dataset = dataset
+        self.has_labels = getattr(dataset, "has_labels", True)
+        n = len(dataset) if subset is None else min(subset, len(dataset))
+        shard_n = (n - shard_index + shard_count - 1) // shard_count
+        self.batch_size = min(batch_size, max(1, shard_n))
+        self._n = n
+
+        ds = grain.MapDataset.source(_Source(dataset))[:n]
+        if shuffle:
+            ds = ds.shuffle(seed=seed)
+        # strided host sharding over the (shuffled) epoch, like Loader
+        ds = ds[shard_index::shard_count]
+        self._map_ds = ds
+        self._num_workers = num_workers
+
+    def __len__(self) -> int:
+        n = len(self._map_ds)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _to_batch(self, items) -> Dict[str, np.ndarray]:
+        bs = self.batch_size
+        valid = np.zeros((bs,), np.float32)
+        valid[: len(items)] = 1.0
+
+        def pad(x):
+            if len(x) < bs:
+                x = np.concatenate(
+                    [x, np.zeros((bs - len(x), *x.shape[1:]), x.dtype)]
+                )
+            return x
+
+        if self.has_labels:
+            imgs = pad(np.stack([it[0] for it in items]))
+            masks = pad(np.stack([it[1] for it in items]))
+            return {"image": imgs, "mask": masks, "valid": valid}
+        return {"image": pad(np.stack(items)), "valid": valid}
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        it = iter(self._map_ds.to_iter_dataset())
+        buf = []
+        for item in it:
+            buf.append(item)
+            if len(buf) == self.batch_size:
+                yield self._to_batch(buf)
+                buf = []
+        if buf:
+            yield self._to_batch(buf)
+
+    def repeat(self) -> Iterator[Dict[str, np.ndarray]]:
+        while True:
+            yield from self

@@ -153,28 +153,37 @@ def build_dataloaders(
     shard_index: int = 0,
     shard_count: int = 1,
     synthetic: bool = False,
+    backend: str = "threads",
 ) -> Dict[str, Loader]:
     """The reference's per-dataset ``build_dataloaders`` surface
     (dataloaders/JSRT.py:17-46, dataloaders/CXR14.py:21-45) behind one
     dispatcher. Train is shuffled + host-sharded; val/test are neither.
     ``synthetic=True`` (or data_dir=None) swaps in the deterministic
-    generator with the same split sizes."""
+    generator with the same split sizes. ``backend='grain'`` uses the
+    grain-based loader (same batch contract)."""
     from tedm_tpu.data.datasets import (
         CXR14Dataset,
         JSRTDataset,
         SyntheticCXRDataset,
     )
 
+    if backend == "grain":
+        from tedm_tpu.data.grain_pipeline import GrainLoader as LoaderCls
+
+        extra = {}
+    else:
+        LoaderCls, extra = Loader, {"num_workers": num_workers}
+
     synthetic = synthetic or data_dir is None
-    mk = lambda ds, shuffle, shard, subset=None: Loader(
+    mk = lambda ds, shuffle, shard, subset=None: LoaderCls(
         ds,
         batch_size,
         shuffle=shuffle,
         seed=seed,
-        num_workers=num_workers,
         shard_index=shard_index if shard else 0,
         shard_count=shard_count if shard else 1,
         subset=subset,
+        **extra,
     )
 
     if dataset == "JSRT":
