@@ -48,6 +48,20 @@ from tedm_tpu.utils.logging import MetricsLogger
 FROZEN_PREFIXES = ("downs", "init_conv", "mid_")  # reference: finetune_glob_cl.py:64-67
 
 
+def _deep_merge(dst: Any, src: Any) -> Any:
+    """Recursively overlay ``src`` onto ``dst``, keeping ``dst`` keys that
+    ``src`` lacks. The CL models initialize their unet subtree lazily (no
+    decoder / no FiLM time_proj params), so a top-level dict replace would
+    silently DROP those params from the finetuned model and produce
+    checkpoints that no longer restore against a full-UNet template."""
+    if isinstance(dst, dict) and isinstance(src, dict):
+        out = dict(dst)
+        for k, v in src.items():
+            out[k] = _deep_merge(dst[k], v) if k in dst else v
+        return out
+    return src
+
+
 def _grad_mask(params: Any, keep: Callable[[str], bool]) -> Any:
     """{top-level key -> 0/1} mask pytree for gradient gating."""
     return {
@@ -165,11 +179,11 @@ def main_local(config: Config) -> None:
     if config.global_model_path and checkpoint_exists(config.global_model_path):
         gp = _load_unet_subtree(config, config.global_model_path)
         # strict=False analogue: GlobalCL's unet subtree only has encoder+mid
-        # params (flax init is lazy); merge what exists, keep our init for
-        # the rest (decoder stays random, as the reference notes).
+        # params (flax init is lazy); deep-merge what exists, keep our init
+        # for the rest (decoder stays random, as the reference notes).
         variables["params"] = {
             **variables["params"],
-            "unet": {**variables["params"]["unet"], **gp},
+            "unet": _deep_merge(variables["params"]["unet"], gp),
         }
         print(f"Loaded GlobalCL backbone from {config.global_model_path}")
 
@@ -252,8 +266,9 @@ def main_finetune(config: Config) -> None:
     )
     if ckpt_path and checkpoint_exists(ckpt_path):
         pre = _load_unet_subtree(config, ckpt_path)
-        # strict=False analogue: take every matching top-level module.
-        params = {k: pre.get(k, v) for k, v in params.items()}
+        # strict=False analogue: deep-merge so modules the CL model never
+        # initialized (FiLM time_proj, decoder) keep our fresh init.
+        params = _deep_merge(params, pre)
         print(f"Loaded pretrained encoder from {ckpt_path} "
               "(note: decoder values come from the CL init, as in the reference)")
 
