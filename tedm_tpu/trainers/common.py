@@ -205,57 +205,71 @@ def train_segmentation(
     t0 = time.time()
     imgs_seen = 0
 
-    for batch in loaders["train"].repeat():
-        step += 1
-        rng, sub = jax.random.split(rng)
-        if config.profile_dir and step == 10:
-            jax.profiler.start_trace(config.profile_dir)
-        b = shard({"image": batch["image"], "mask": batch["mask"],
-                   "valid": batch["valid"]})
-        params, batch_stats, opt_state, loss, per_fold = train_step(
-            params, batch_stats, opt_state,
-            b["image"], b["mask"], b["valid"], sub,
-        )
-        if config.profile_dir and step == 15:
-            jax.block_until_ready(loss)
-            jax.profiler.stop_trace()
-        train_losses.append(float(loss))
-        fold_losses.append(np.asarray(per_fold))
-        imgs_seen += int(batch["valid"].sum())
+    from tedm_tpu.utils.interrupt import graceful_shutdown
 
-        if step % config.log_freq == 0 or config.debug:
-            dt = time.time() - t0
-            logs = {
-                "train/loss": float(np.mean(train_losses)),
-                "train/imgs_per_sec": imgs_seen / max(dt, 1e-9),
-            }
-            if task.fold > 1 and task.fold_names:
-                mean_fold = np.mean(np.stack(fold_losses), axis=0)
-                for name, v in zip(task.fold_names, mean_fold):
-                    logs[f"train_loss/step_{name}"] = float(v)
-            logger.log(logs, step)
-            train_losses, fold_losses = [], []
-            t0, imgs_seen = time.time(), 0
+    def make_state():
+        return {
+            "params": params,
+            "batch_stats": batch_stats,
+            "opt_state": opt_state,
+            "step": step,
+            **(extra_ckpt_state or {}),
+        }
 
-        if step % config.val_freq == 0 or config.debug:
-            rng, vrng = jax.random.split(rng)
-            val = validate(config, task, params, batch_stats, loaders["val"], vrng,
-                           eval_step=eval_step)
-            logger.log(val, step)
-            state = {
-                "params": params,
-                "batch_stats": batch_stats,
-                "opt_state": opt_state,
-                "step": step,
-                **(extra_ckpt_state or {}),
-            }
-            if val["val/loss"] < best_val_loss and not config.debug:
-                best_val_loss = val["val/loss"]
-                save_checkpoint(f"{config.log_dir}/best", state, config)
-            elif val["val/loss"] > best_val_loss * 1.5 and config.early_stop:
+    with graceful_shutdown() as should_stop:
+        for batch in loaders["train"].repeat():
+            step += 1
+            rng, sub = jax.random.split(rng)
+            if config.profile_dir and step == 10:
+                jax.profiler.start_trace(config.profile_dir)
+            b = shard({"image": batch["image"], "mask": batch["mask"],
+                       "valid": batch["valid"]})
+            params, batch_stats, opt_state, loss, per_fold = train_step(
+                params, batch_stats, opt_state,
+                b["image"], b["mask"], b["valid"], sub,
+            )
+            if config.profile_dir and step == 15:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+            train_losses.append(float(loss))
+            fold_losses.append(np.asarray(per_fold))
+            imgs_seen += int(batch["valid"].sum())
+
+            if step % config.log_freq == 0 or config.debug:
+                dt = time.time() - t0
+                logs = {
+                    "train/loss": float(np.mean(train_losses)),
+                    "train/imgs_per_sec": imgs_seen / max(dt, 1e-9),
+                }
+                if task.fold > 1 and task.fold_names:
+                    mean_fold = np.mean(np.stack(fold_losses), axis=0)
+                    for name, v in zip(task.fold_names, mean_fold):
+                        logs[f"train_loss/step_{name}"] = float(v)
+                logger.log(logs, step)
+                train_losses, fold_losses = [], []
+                t0, imgs_seen = time.time(), 0
+
+            if step % config.val_freq == 0 or config.debug:
+                rng, vrng = jax.random.split(rng)
+                val = validate(config, task, params, batch_stats,
+                               loaders["val"], vrng, eval_step=eval_step)
+                logger.log(val, step)
+                if val["val/loss"] < best_val_loss and not config.debug:
+                    best_val_loss = val["val/loss"]
+                    save_checkpoint(f"{config.log_dir}/best", make_state(), config)
+                elif val["val/loss"] > best_val_loss * 1.5 and config.early_stop:
+                    return params, batch_stats
+                if config.ckpt_every and step % config.ckpt_every == 0:
+                    save_checkpoint(
+                        f"{config.log_dir}/step_{step}", make_state(), config
+                    )
+
+            if should_stop():
+                # SIGTERM/SIGINT: save a resumable state and exit cleanly
+                save_checkpoint(f"{config.log_dir}/interrupted", make_state(), config)
+                print(f"[interrupt] saved {config.log_dir}/interrupted at "
+                      f"step {step}")
                 return params, batch_stats
-            if config.ckpt_every and step % config.ckpt_every == 0:
-                save_checkpoint(f"{config.log_dir}/step_{step}", state, config)
 
-        if step >= config.max_steps or config.debug:
-            return params, batch_stats
+            if step >= config.max_steps or config.debug:
+                return params, batch_stats

@@ -222,9 +222,13 @@ def main(config: Config) -> None:
     shard, replicate = data_parallel_setup(config, loaders["train"].batch_size)
     params, opt_state = replicate(params), replicate(opt_state)
 
+    from tedm_tpu.utils.interrupt import graceful_shutdown
+
     best_val_loss = float("inf")
     train_losses = []
     t0, imgs = time.time(), 0
+    stop_ctx = graceful_shutdown()
+    should_stop = stop_ctx.__enter__()
     for batch in loaders["train"].repeat():
         step += 1
         rng, sub = jax.random.split(rng)
@@ -263,6 +267,16 @@ def main(config: Config) -> None:
             if config.ckpt_every and step % config.ckpt_every == 0:
                 save_checkpoint(f"{config.log_dir}/step_{step}", state, config)
 
+        if should_stop():
+            save_checkpoint(
+                f"{config.log_dir}/interrupted",
+                {"params": params, "opt_state": opt_state, "step": step},
+                config,
+            )
+            print(f"[interrupt] saved {config.log_dir}/interrupted at step {step}")
+            break
+
         if step >= config.max_steps or config.debug:
             break
+    stop_ctx.__exit__(None, None, None)
     logger.close()
