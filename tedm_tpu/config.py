@@ -217,10 +217,15 @@ class Config:
         return len(self.t_steps_to_save)
 
 
+MISSING = "<missing>"
+
+
 def diff_configs(old, new, printer=print) -> Dict[str, Tuple[Any, Any]]:
     """Report changed/new/removed keys between two configs (reference:
     trainers/utils.py:154-174). Accepts Config instances or raw dicts, so
-    checkpoints written by older framework versions diff cleanly."""
+    checkpoints written by older framework versions diff cleanly. Returns
+    {key: (old_value, new_value)} with the MISSING sentinel on the absent
+    side for added/removed keys."""
     c_old = old.to_dict() if hasattr(old, "to_dict") else dict(old)
     c_new = new.to_dict() if hasattr(new, "to_dict") else dict(new)
     changed: Dict[str, Tuple[Any, Any]] = {}
@@ -231,9 +236,11 @@ def diff_configs(old, new, printer=print) -> Dict[str, Tuple[Any, Any]]:
     for k, v in c_new.items():
         if k not in c_old:
             printer(f"{k} is new - {v}")
+            changed[k] = (MISSING, v)
     for k, v in c_old.items():
         if k not in c_new:
             printer(f"{k} is removed - {v}")
+            changed[k] = (v, MISSING)
     return changed
 
 

@@ -51,25 +51,31 @@ class GrainLoader:
         num_workers: int = 0,
         subset: Optional[int] = None,
     ):
-        import grain
-
         self.dataset = dataset
         self.has_labels = getattr(dataset, "has_labels", True)
         n = len(dataset) if subset is None else min(subset, len(dataset))
         shard_n = (n - shard_index + shard_count - 1) // shard_count
         self.batch_size = min(batch_size, max(1, shard_n))
         self._n = n
-
-        ds = grain.MapDataset.source(_Source(dataset))[:n]
-        if shuffle:
-            ds = ds.shuffle(seed=seed)
-        # strided host sharding over the (shuffled) epoch, like Loader
-        ds = ds[shard_index::shard_count]
-        self._map_ds = ds
+        self._shuffle = shuffle
+        self._seed = seed
+        self._shard = (shard_index, shard_count)
         self._num_workers = num_workers
+        self.epoch = 0
+
+    def _epoch_ds(self, epoch: int):
+        """Fresh shuffled view per epoch (Loader contract: the permutation
+        is a pure function of (seed, epoch), identical across hosts)."""
+        import grain
+
+        ds = grain.MapDataset.source(_Source(self.dataset))[: self._n]
+        if self._shuffle:
+            ds = ds.shuffle(seed=self._seed + epoch)
+        i, c = self._shard
+        return ds[i::c]
 
     def __len__(self) -> int:
-        n = len(self._map_ds)
+        n = len(self._epoch_ds(0))
         return (n + self.batch_size - 1) // self.batch_size
 
     def _to_batch(self, items) -> Dict[str, np.ndarray]:
@@ -91,7 +97,14 @@ class GrainLoader:
         return {"image": pad(np.stack(items)), "valid": valid}
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        it = iter(self._map_ds.to_iter_dataset())
+        import grain
+
+        ds = self._epoch_ds(self.epoch)
+        self.epoch += 1
+        read_opts = grain.ReadOptions(
+            num_threads=max(1, self._num_workers), prefetch_buffer_size=64
+        )
+        it = iter(ds.to_iter_dataset(read_options=read_opts))
         buf = []
         for item in it:
             buf.append(item)

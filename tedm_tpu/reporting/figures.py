@@ -133,6 +133,10 @@ def main(argv=None) -> None:
     parser.add_argument("--metrics", nargs="+", default=["dice", "precision", "recall"])
     parser.add_argument("--n", type=int, default=6)
     args = parser.parse_args(argv)
+    if args.kind in ("boxplot", "grid") and not args.experiment:
+        parser.error(f"{args.kind} requires --experiment")
+    if args.kind == "compare" and not args.experiments:
+        parser.error("compare requires --experiments NAME=DIR [NAME=DIR ...]")
     if args.kind == "boxplot":
         per_timestep_boxplot(args.experiment, args.out, args.dataset, args.metrics)
     elif args.kind == "grid":

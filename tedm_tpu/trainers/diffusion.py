@@ -227,56 +227,54 @@ def main(config: Config) -> None:
     best_val_loss = float("inf")
     train_losses = []
     t0, imgs = time.time(), 0
-    stop_ctx = graceful_shutdown()
-    should_stop = stop_ctx.__enter__()
-    for batch in loaders["train"].repeat():
-        step += 1
-        rng, sub = jax.random.split(rng)
-        if config.profile_dir and step == 10:
-            jax.profiler.start_trace(config.profile_dir)
-        x, cond = batch_to_x_cond(config, batch)
-        sharded = shard({"x": x, "cond": cond, "valid": batch["valid"]})
-        params, opt_state, loss = train_step(
-            params, opt_state, sharded["x"], sharded["cond"], sharded["valid"], sub
-        )
-        if config.profile_dir and step == 15:
-            jax.block_until_ready(loss)
-            jax.profiler.stop_trace()
-        train_losses.append(float(loss))
-        imgs += int(batch["valid"].sum())
-
-        if step % config.log_freq == 0 or config.debug:
-            dt = time.time() - t0
-            logger.log(
-                {"train/loss": float(np.mean(train_losses)),
-                 "train/imgs_per_sec": imgs / max(dt, 1e-9)},
-                step,
+    with graceful_shutdown() as should_stop:
+        for batch in loaders["train"].repeat():
+            step += 1
+            rng, sub = jax.random.split(rng)
+            if config.profile_dir and step == 10:
+                jax.profiler.start_trace(config.profile_dir)
+            x, cond = batch_to_x_cond(config, batch)
+            sharded = shard({"x": x, "cond": cond, "valid": batch["valid"]})
+            params, opt_state, loss = train_step(
+                params, opt_state, sharded["x"], sharded["cond"], sharded["valid"], sub
             )
-            train_losses, t0, imgs = [], time.time(), 0
+            if config.profile_dir and step == 15:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+            train_losses.append(float(loss))
+            imgs += int(batch["valid"].sum())
 
-        if step % config.val_freq == 0 or config.debug:
-            rng, vrng = jax.random.split(rng)
-            vloss = validate(
-                config, eval_step, sample_grid, params, loaders["val"], vrng, logger, step
-            )
-            logger.log({"val/loss": vloss}, step)
-            state = {"params": params, "opt_state": opt_state, "step": step}
-            if vloss < best_val_loss and not config.debug:
-                best_val_loss = vloss
-                save_checkpoint(f"{config.log_dir}/best", state, config)
-            if config.ckpt_every and step % config.ckpt_every == 0:
-                save_checkpoint(f"{config.log_dir}/step_{step}", state, config)
+            if step % config.log_freq == 0 or config.debug:
+                dt = time.time() - t0
+                logger.log(
+                    {"train/loss": float(np.mean(train_losses)),
+                     "train/imgs_per_sec": imgs / max(dt, 1e-9)},
+                    step,
+                )
+                train_losses, t0, imgs = [], time.time(), 0
 
-        if should_stop():
-            save_checkpoint(
-                f"{config.log_dir}/interrupted",
-                {"params": params, "opt_state": opt_state, "step": step},
-                config,
-            )
-            print(f"[interrupt] saved {config.log_dir}/interrupted at step {step}")
-            break
+            if step % config.val_freq == 0 or config.debug:
+                rng, vrng = jax.random.split(rng)
+                vloss = validate(
+                    config, eval_step, sample_grid, params, loaders["val"], vrng, logger, step
+                )
+                logger.log({"val/loss": vloss}, step)
+                state = {"params": params, "opt_state": opt_state, "step": step}
+                if vloss < best_val_loss and not config.debug:
+                    best_val_loss = vloss
+                    save_checkpoint(f"{config.log_dir}/best", state, config)
+                if config.ckpt_every and step % config.ckpt_every == 0:
+                    save_checkpoint(f"{config.log_dir}/step_{step}", state, config)
 
-        if step >= config.max_steps or config.debug:
-            break
-    stop_ctx.__exit__(None, None, None)
+            if should_stop():
+                save_checkpoint(
+                    f"{config.log_dir}/interrupted",
+                    {"params": params, "opt_state": opt_state, "step": step},
+                    config,
+                )
+                print(f"[interrupt] saved {config.log_dir}/interrupted at step {step}")
+                break
+
+            if step >= config.max_steps or config.debug:
+                break
     logger.close()

@@ -27,13 +27,22 @@ from typing import Callable, Iterator
 def graceful_shutdown() -> Iterator[Callable[[], bool]]:
     stop = threading.Event()
     prev = {}
+    installed = []
+
+    def restore():
+        for sig in installed:
+            signal.signal(sig, prev[sig])
+        installed.clear()
 
     def handler(signum, frame):
         print(f"[interrupt] signal {signum} received; will checkpoint and "
-              "stop at the next step boundary", flush=True)
+              "stop at the next step boundary (signal again to force)",
+              flush=True)
         stop.set()
+        # escalation: restore previous handlers so a SECOND signal kills a
+        # step that is stuck inside a multi-minute compile/device call
+        restore()
 
-    installed = []
     for sig in (signal.SIGTERM, signal.SIGINT):
         try:  # only the main thread may set handlers
             prev[sig] = signal.signal(sig, handler)
@@ -43,5 +52,4 @@ def graceful_shutdown() -> Iterator[Callable[[], bool]]:
     try:
         yield stop.is_set
     finally:
-        for sig in installed:
-            signal.signal(sig, prev[sig])
+        restore()
