@@ -84,6 +84,10 @@ class Config:
     beta_schedule: str = "cosine"           # 'linear' | 'cosine'
     objective: str = "pred_noise"           # 'pred_noise' | 'pred_x_0'
     dynamic_threshold_percentile: float = 0.995
+    ddim_steps: int = 0                     # >0: DDIM fast sampling with this many
+                                            # steps wherever full trajectories are
+                                            # sampled (val grids, conditional eval);
+                                            # 0 = reference-faithful ancestral T steps
 
     # Contrastive learning
     tau: float = 0.1
@@ -304,6 +308,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-host: jax.distributed.initialize() at startup")
     p.add_argument("--remat", action="store_true",
                    help="activation rematerialization for the UNet forward")
+    p.add_argument("--ddim_steps", type=int, default=0,
+                   help="DDIM fast sampling steps (0 = full ancestral)")
     return p
 
 

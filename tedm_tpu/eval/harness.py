@@ -138,18 +138,26 @@ def predict_conditional_dataset(
     per batch, ``n_runs`` independent full reverse-sampling trajectories of
     the segmentation conditioned on the image, averaged. Here each run is
     one jitted lax.scan instead of 1000 Python-level kernel launches."""
-    from tedm_tpu.models.diffusion import sample_loop
+    from tedm_tpu.models.diffusion import ddim_sample_loop, sample_loop
 
     @jax.jit
     def run_once(p, cond, r):
         apply_fn = lambda x, t: unet.apply(
             {"params": p}, jnp.concatenate([x, cond], axis=-1), t
         )
-        x0 = sample_loop(
-            apply_fn, sched, r, cond.shape[:3] + (1,),
-            objective=config.objective,
-            dynamic_threshold_percentile=config.dynamic_threshold_percentile,
-        )
+        if config.ddim_steps > 0:
+            x0 = ddim_sample_loop(
+                apply_fn, sched, r, cond.shape[:3] + (1,),
+                num_steps=config.ddim_steps,
+                objective=config.objective,
+                dynamic_threshold_percentile=config.dynamic_threshold_percentile,
+            )
+        else:
+            x0 = sample_loop(
+                apply_fn, sched, r, cond.shape[:3] + (1,),
+                objective=config.objective,
+                dynamic_threshold_percentile=config.dynamic_threshold_percentile,
+            )
         return x0 * 0.5 + 0.5  # unnormalize (run_tests.py:131)
 
     y_hats, y_stars = [], []

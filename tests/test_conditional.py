@@ -29,6 +29,7 @@ def test_conditional_trains_and_sampling_eval(tmp_path):
     train_main([
         "--experiment", "conditional", "--log_dir", str(tmp_path / "c"),
         "--max_steps", "2", "--val_freq", "2", "--log_freq", "2",
+        "--ddim_steps", "4",  # fast-sampling path in the conditional eval
     ] + ARGS)
     run = str(tmp_path / "conditional" / "None" / "c")
 
