@@ -3,6 +3,7 @@
 from tedm_tpu.models.unet import Unet, count_params
 from tedm_tpu.models.diffusion import (
     ddim_sample_loop,
+    dpmpp2m_sample_loop,
     q_sample,
     sample_loop,
     sample_loop_with_snapshots,

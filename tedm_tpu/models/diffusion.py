@@ -261,6 +261,73 @@ def ddim_sample_loop(
     return x_0
 
 
+def dpmpp2m_sample_loop(
+    apply_fn: ApplyFn,
+    sched: DiffusionSchedule,
+    rng: Array,
+    shape: Tuple[int, ...],
+    num_steps: int = 20,
+    objective: str = "pred_noise",
+    dynamic_threshold_percentile: float = 0.995,
+    dtype=jnp.float32,
+) -> Array:
+    """DPM-Solver++(2M) (Lu et al. 2022): deterministic second-order
+    multistep sampling in log-SNR time with the data-prediction
+    parameterization — higher quality than DDIM at very low step counts
+    (10-25). A fast-sampling capability beyond the reference (which always
+    runs 1000 ancestral steps). One jitted ``lax.scan``.
+
+    Update (data prediction), with lambda = log(alpha/sigma),
+    h_i = lambda_i - lambda_{i-1}, r = h_{i-1}/h_i:
+        D = (1 + 1/(2r)) x0_i - 1/(2r) x0_{i-1}       (first step: D = x0)
+        x <- (sigma_i/sigma_{i-1}) x - alpha_i (exp(-h_i) - 1) D
+    """
+    T = sched.num_timesteps
+    ts = jnp.linspace(0.0, T - 1, num_steps + 1).round().astype(jnp.int32)[::-1]
+    a_bar = sched.alphas_cumprod
+    alpha = jnp.sqrt(a_bar)
+    sigma = jnp.sqrt(1.0 - a_bar)
+    lam = jnp.log(alpha) - jnp.log(sigma)
+
+    rng, init_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, shape, dtype=dtype)
+
+    def x0_of(x, t_scalar):
+        tb = jnp.full((shape[0],), t_scalar, jnp.int32)
+        _, x0 = model_predictions(apply_fn, sched, x, tb, objective)
+        return dynamic_threshold(x0, dynamic_threshold_percentile)
+
+    def body(carry, inputs):
+        x, x0_prev, lam_prev_prev, first = carry
+        t_from, t_to = inputs
+        x0 = x0_of(x, t_from)
+        l_from, l_to = lam[t_from], lam[t_to]
+        h = l_to - l_from
+        # previous step size in lambda-time (h_prev = l_from - l_prev_prev);
+        # r guarded on the first step where h_prev = 0 (D_2m is discarded
+        # there, but inf/nan must not be materialized)
+        h_prev = l_from - lam_prev_prev
+        r = jnp.where(first, 1.0, h_prev / h)
+        D_2m = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
+        D = jnp.where(first, x0, D_2m)
+        # final transition targets the clean state (lambda -> inf:
+        # sigma_to = 0, alpha_to = 1, exp(-h) = 0) — same convention as
+        # DDIM's t_prev = -1, removing the sigma_0 noise floor
+        last = t_to == 0
+        sig_to = jnp.where(last, 0.0, sigma[t_to])
+        alp_to = jnp.where(last, 1.0, alpha[t_to])
+        emh = jnp.where(last, 0.0, jnp.exp(-h))
+        x = (sig_to / sigma[t_from]) * x - alp_to * (emh - 1.0) * D
+        return (x.astype(dtype), x0, l_from, jnp.bool_(False)), None
+
+    pairs = (ts[:-1], ts[1:])
+    (x, x0_last, _, _), _ = jax.lax.scan(
+        body, (x, jnp.zeros(shape, dtype), lam[ts[0]], jnp.bool_(True)), pairs
+    )
+    # final step lands at t=0 where alpha ~= 1; x is the sample in [-1, 1]
+    return x
+
+
 def train_loss(
     apply_fn: ApplyFn,
     sched: DiffusionSchedule,
