@@ -51,9 +51,12 @@ class GrainLoader:
         num_workers: int = 0,
         subset: Optional[int] = None,
     ):
+        import numpy as np
+
         self.dataset = dataset
         self.has_labels = getattr(dataset, "has_labels", True)
         n = len(dataset) if subset is None else min(subset, len(dataset))
+        self.indices = np.arange(n)  # Loader-contract attribute
         shard_n = (n - shard_index + shard_count - 1) // shard_count
         self.batch_size = min(batch_size, max(1, shard_n))
         self._n = n

@@ -196,11 +196,21 @@ def classifier_batch_stats(
     }
 
 
+def infer_n_stages(state_dict: Dict[str, Any]) -> int:
+    """Number of down/up stages from the state-dict keys."""
+    stages = set()
+    for k in state_dict:
+        k = k[len("model."):] if k.startswith("model.") else k
+        if k.startswith("downs."):
+            stages.add(int(k.split(".")[1]))
+    return max(stages) + 1 if stages else 4
+
+
 def load_reference_checkpoint(path: str):
     """Load a reference ``best_model.pt`` and return
     (unet_params, raw_checkpoint_dict). Requires torch for unpickling."""
     import torch
 
-    ckpt = torch.load(path, map_location="cpu")
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt["model_state_dict"]
-    return convert_unet_state_dict(sd), ckpt
+    return convert_unet_state_dict(sd, n_stages=infer_n_stages(sd)), ckpt
