@@ -1,0 +1,45 @@
+"""AOT predictor export: serialize a trained experiment's predictor to
+StableHLO and call it back without model code (serve/export.py)."""
+
+import numpy as np
+import pytest
+
+from tedm_tpu.train import main as train_main
+
+ARGS = [
+    "--synthetic_data", "--dim", "8", "--dim_mults", "1", "2",
+    "--img_size", "16", "--batch_size", "2", "--timesteps", "8",
+    "--num_workers", "1", "--max_val_steps", "1",
+]
+
+
+def test_export_roundtrip(tmp_path):
+    train_main([
+        "--experiment", "baseline", "--n_labelled_images", "3",
+        "--log_dir", str(tmp_path / "run"), "--max_steps", "2",
+        "--val_freq", "2", "--log_freq", "2",
+    ] + ARGS)
+    run = str(tmp_path / "baseline" / "3" / "run")
+
+    from tedm_tpu.eval.harness import load_experiment, make_predict_fn
+    from tedm_tpu.serve.export import export_predictor, load_exported
+
+    out = str(tmp_path / "model.bin")
+    n = export_predictor(run, out, batch_size=2)
+    assert n > 1000
+
+    predict = load_exported(out)
+    x = np.random.rand(2, 16, 16, 1).astype(np.float32)
+    probs = predict(x)
+    assert probs.shape == (2, 16, 16, 1)
+    assert (probs >= 0).all() and (probs <= 1).all()
+
+    # must match the live (non-exported) predictor bit-for-bit
+    import jax
+
+    config, state, task = load_experiment(run)
+    fwd = make_predict_fn(task)
+    live = np.asarray(
+        fwd(state["params"], state["batch_stats"], x, jax.random.PRNGKey(0))
+    )
+    np.testing.assert_allclose(probs, live, atol=1e-6)
