@@ -57,6 +57,56 @@ def export_predictor(
     return len(data)
 
 
+def export_sampler(
+    exp_dir: str,
+    out_path: str,
+    batch_size: int = 1,
+    sampler: str = "dpmpp",
+    num_steps: int = 20,
+) -> int:
+    """Export a diffusion checkpoint's full sampling loop (noise -> image,
+    params baked in) as one StableHLO artifact. ``sampler``: 'ancestral'
+    (reference-faithful T steps), 'ddim', or 'dpmpp'. The callable takes a
+    PRNG key array (uint32[2]) and returns images in [0, 1]."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from tedm_tpu.eval.harness import load_diffusion_experiment
+    from tedm_tpu.models.diffusion import (
+        ddim_sample_loop,
+        dpmpp2m_sample_loop,
+        sample_loop,
+        unnormalize_to_zero_to_one,
+    )
+
+    config, params, unet, sched = load_diffusion_experiment(exp_dir)
+    shape = (batch_size, config.img_size, config.img_size, config.channels)
+    apply_fn = lambda x, t: unet.apply({"params": params}, x, t)
+
+    @jax.jit
+    def sample(key):
+        if sampler == "ancestral":
+            x = sample_loop(apply_fn, sched, key, shape,
+                            objective=config.objective)
+        elif sampler == "ddim":
+            x = ddim_sample_loop(apply_fn, sched, key, shape, num_steps,
+                                 objective=config.objective)
+        elif sampler == "dpmpp":
+            x = dpmpp2m_sample_loop(apply_fn, sched, key, shape, num_steps,
+                                    objective=config.objective)
+        else:
+            raise ValueError(f"unknown sampler {sampler}")
+        return unnormalize_to_zero_to_one(jnp.clip(x, -1.0, 1.0))
+
+    key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    exp = jexport.export(sample)(key_spec)
+    data = exp.serialize()
+    with open(out_path, "wb") as f:
+        f.write(data)
+    return len(data)
+
+
 def load_exported(path: str) -> Callable[[np.ndarray], np.ndarray]:
     """Deserialize an exported predictor into a callable."""
     from jax import export as jexport
@@ -74,13 +124,21 @@ def main(argv=None) -> None:
     import argparse
 
     p = argparse.ArgumentParser(
-        description="Export a trained experiment's predictor to StableHLO"
+        description="Export a trained experiment's predictor or sampler to StableHLO"
     )
+    p.add_argument("kind", choices=["predictor", "sampler"])
     p.add_argument("--experiment", "-e", required=True, help="experiment dir")
     p.add_argument("--out", required=True)
     p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--sampler", type=str, default="dpmpp",
+                   choices=["ancestral", "ddim", "dpmpp"])
+    p.add_argument("--num_steps", type=int, default=20)
     args = p.parse_args(argv)
-    n = export_predictor(args.experiment, args.out, args.batch_size)
+    if args.kind == "predictor":
+        n = export_predictor(args.experiment, args.out, args.batch_size)
+    else:
+        n = export_sampler(args.experiment, args.out, args.batch_size,
+                           args.sampler, args.num_steps)
     print(f"wrote {args.out} ({n} bytes)")
 
 

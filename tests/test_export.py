@@ -43,3 +43,24 @@ def test_export_roundtrip(tmp_path):
         fwd(state["params"], state["batch_stats"], x, jax.random.PRNGKey(0))
     )
     np.testing.assert_allclose(probs, live, atol=1e-6)
+
+
+def test_export_sampler_roundtrip(tmp_path):
+    train_main([
+        "--experiment", "img_only", "--log_dir", str(tmp_path / "bb"),
+        "--max_steps", "2", "--val_freq", "2", "--log_freq", "2",
+        "--val_steps", "4", "--n_sampled_imgs", "2",
+    ] + ARGS)
+    run = str(tmp_path / "CXR14" / "bb")
+
+    from tedm_tpu.serve.export import export_sampler, load_exported
+
+    out = str(tmp_path / "sampler.bin")
+    n = export_sampler(run, out, batch_size=2, sampler="dpmpp", num_steps=4)
+    assert n > 1000
+    sample = load_exported(out)
+    import jax
+
+    imgs = sample(np.asarray(jax.random.PRNGKey(1), np.uint32))
+    assert imgs.shape == (2, 16, 16, 1)
+    assert np.isfinite(imgs).all() and imgs.min() >= 0 and imgs.max() <= 1
