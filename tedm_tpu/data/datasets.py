@@ -33,12 +33,22 @@ SPLITS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "splits")
 
 def _load_pil_image(path: str, img_size: int) -> np.ndarray:
     """PIL convert('L').resize((s, s)) then ToTensor semantics (/255),
-    as (H, W, 1) float32 — bit-compatible with the reference host path."""
+    as (H, W, 1) float32 — bit-compatible with the reference host path
+    (dataloaders/JSRT.py:62-65). The resize runs through the native C++
+    resampler when built (tedm_tpu/native — byte-exact with PIL, pinned by
+    tests/test_native_resample.py); PIL otherwise."""
     from PIL import Image
 
-    img = Image.open(path).convert("L").resize((img_size, img_size))
-    arr = np.asarray(img, dtype=np.float32) / 255.0
-    return arr[..., None]
+    from tedm_tpu import native
+
+    img = Image.open(path).convert("L")
+    if native.available():
+        arr8 = native.resize_u8(
+            np.asarray(img, dtype=np.uint8), (img_size, img_size)
+        )
+    else:
+        arr8 = np.asarray(img.resize((img_size, img_size)), dtype=np.uint8)
+    return arr8.astype(np.float32)[..., None] / 255.0
 
 
 def _load_mask(paths: Sequence[str], img_size: int) -> np.ndarray:

@@ -80,13 +80,37 @@ def q_posterior(
     return mean, log_var
 
 
+def _quantile_via_topk(flat: Array, percentile: float) -> Array:
+    """Exact linear-interpolated `percentile` quantile of each row of
+    ``flat`` (B, n) computed from top-k order statistics. For the high
+    percentiles dynamic thresholding uses (0.995 ⇒ top 83 of 16384 pixels),
+    ``lax.top_k`` replaces the full O(n log² n) per-step sort the quantile
+    would otherwise lower to — same value, measurably cheaper inside the
+    1000-step sampling scan."""
+    n = flat.shape[1]
+    pos = percentile * (n - 1)  # static python float
+    i_lo = int(pos)
+    frac = pos - i_lo
+    k = n - i_lo  # elements from the top covering order stats i_lo, i_lo+1
+    top = jax.lax.top_k(flat, k)[0]  # (B, k), descending
+    v_lo = top[:, k - 1]  # ascending order stat i_lo
+    if frac == 0.0:
+        return v_lo
+    v_hi = top[:, k - 2] if k >= 2 else v_lo
+    return v_lo * (1.0 - frac) + v_hi * frac
+
+
 def dynamic_threshold(x_0: Array, percentile: float) -> Array:
     """Imagen dynamic thresholding (reference: models/diffusion_model.py:224-231):
     clip to the per-sample `percentile` quantile of |x_0| (floored at 1) and
     rescale into [-1, 1]."""
-    flat = jnp.abs(x_0.reshape(x_0.shape[0], -1))
-    s = jnp.quantile(flat, percentile, axis=1)
-    s = jnp.maximum(s, 1.0).reshape(-1, *((1,) * (x_0.ndim - 1)))
+    flat = jnp.abs(x_0.reshape(x_0.shape[0], -1)).astype(jnp.float32)
+    if percentile * (flat.shape[1] - 1) >= flat.shape[1] / 2:
+        s = _quantile_via_topk(flat, percentile)
+    else:
+        s = jnp.quantile(flat, percentile, axis=1)
+    s = jnp.maximum(s, 1.0).astype(x_0.dtype)
+    s = s.reshape(-1, *((1,) * (x_0.ndim - 1)))
     return jnp.clip(x_0, -s, s) / s
 
 

@@ -1,0 +1,143 @@
+"""Native (C++) host-side layer: PIL-bit-exact image resampling.
+
+The reference's only native-performance surface outside torch kernels is
+PIL's C resize running inside DataLoader workers (dataloaders/JSRT.py:62-65,
+SURVEY §2.2). This package is our native equivalent: ``cc/resample.cpp``
+reimplements Pillow's fixed-point separable resampling (single-band 8-bit;
+BICUBIC — PIL's mode-'L' resize default — plus BILINEAR and NEAREST) with a
+``std::thread`` batch fan-out, bound via ctypes.
+
+Build story: compiled on first use with ``g++ -O3`` into ``_resample.so``
+next to this file (no pip/pybind11 dependency). Every entry point degrades
+gracefully — if the toolchain or the .so is unavailable, ``available()``
+returns False and callers (tedm_tpu/data/datasets.py) fall back to PIL with
+identical output bytes (bit-exactness is pinned by
+tests/test_native_resample.py), so the fast path can never change a number.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "cc", "resample.cpp")
+_SO = os.path.join(_DIR, "_resample.so")
+
+FILTERS = {"nearest": 0, "bilinear": 1, "bicubic": 2}
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    """Compile the .so if missing/stale. Returns True on success."""
+    try:
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+            return True
+        tmp = _SO + f".tmp{os.getpid()}"
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             _SRC, "-o", tmp],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.replace(tmp, _SO)  # atomic: concurrent builders race safely
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _build():
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _build_failed = True
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.tedm_resize_u8.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.tedm_resize_u8.restype = ctypes.c_int
+        lib.tedm_resize_batch_u8.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.tedm_resize_batch_u8.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    """True iff the native library is built/loadable (and not disabled via
+    TEDM_NATIVE=0)."""
+    if os.environ.get("TEDM_NATIVE", "1") == "0":
+        return False
+    return _load() is not None
+
+
+def resize_u8(img: np.ndarray, size: Tuple[int, int],
+              filter: str = "bicubic") -> np.ndarray:
+    """Resize a (H, W) uint8 image to ``size`` = (out_h, out_w).
+
+    Byte-identical to ``PIL.Image.fromarray(img).resize((out_w, out_h),
+    <filter>)`` (BICUBIC is PIL's default for mode 'L')."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native resample library unavailable")
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError(f"expected (H, W) uint8, got {img.shape}")
+    oh, ow = size
+    out = np.empty((oh, ow), np.uint8)
+    rc = lib.tedm_resize_u8(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        img.shape[0], img.shape[1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        oh, ow, FILTERS[filter],
+    )
+    if rc != 0:
+        raise RuntimeError(f"tedm_resize_u8 failed: {rc}")
+    return out
+
+
+def resize_batch_u8(imgs: np.ndarray, size: Tuple[int, int],
+                    filter: str = "bicubic",
+                    num_threads: Optional[int] = None) -> np.ndarray:
+    """Resize a (B, H, W) uint8 stack to (B, out_h, out_w), threaded."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native resample library unavailable")
+    imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+    if imgs.ndim != 3:
+        raise ValueError(f"expected (B, H, W) uint8, got {imgs.shape}")
+    oh, ow = size
+    b = imgs.shape[0]
+    nt = num_threads or min(b, os.cpu_count() or 1)
+    out = np.empty((b, oh, ow), np.uint8)
+    rc = lib.tedm_resize_batch_u8(
+        imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        b, imgs.shape[1], imgs.shape[2],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        oh, ow, FILTERS[filter], nt,
+    )
+    if rc != 0:
+        raise RuntimeError(f"tedm_resize_batch_u8 failed: {rc}")
+    return out

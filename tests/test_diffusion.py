@@ -74,6 +74,24 @@ def test_dynamic_threshold_matches_torch_quantile():
     np.testing.assert_allclose(jq, nq, rtol=1e-5)
 
 
+def test_topk_quantile_matches_full_quantile():
+    """The top_k order-statistic fast path must be exactly the linear-
+    interpolated quantile (what the sort-based jnp.quantile computes)."""
+    rng = np.random.RandomState(1)
+    for n in (100, 128 * 128, 257):
+        x = jnp.abs(jnp.asarray(rng.randn(3, n).astype(np.float32)))
+        for q in (0.995, 0.9, 0.5):
+            fast = np.asarray(dm._quantile_via_topk(x, q))
+            ref = np.asarray(jnp.quantile(x, q, axis=1))
+            np.testing.assert_allclose(fast, ref, rtol=1e-6, atol=1e-7)
+    # threshold output itself identical on a full-size image
+    img = jnp.asarray(rng.randn(2, 128, 128, 1).astype(np.float32)) * 2.0
+    out = np.asarray(dm.dynamic_threshold(img, 0.995))
+    flat = np.abs(np.asarray(img).reshape(2, -1))
+    s = np.maximum(np.quantile(flat, 0.995, axis=1), 1.0).reshape(2, 1, 1, 1)
+    np.testing.assert_allclose(out, np.clip(np.asarray(img), -s, s) / s, rtol=1e-5)
+
+
 def _toy_apply(x, t):
     """A fake epsilon-model: predicts zeros."""
     return jnp.zeros_like(x)

@@ -1,0 +1,87 @@
+"""Native C++ resampler: byte-exact parity with PIL.
+
+The native path may only ship if it is bit-identical to what the reference's
+host pipeline produces (PIL Image.resize, dataloaders/JSRT.py:62-65) — any
+deviation would silently change every downstream number."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tedm_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built (no g++?)"
+)
+
+SIZES = [
+    ((256, 256), (128, 128)),   # 2x downscale (the training config)
+    ((2048, 2048), (128, 128)),  # JSRT-native-resolution downscale
+    ((100, 173), (128, 128)),    # non-square, mixed up/downscale
+    ((64, 64), (128, 128)),      # upscale
+    ((128, 128), (128, 128)),    # identity
+    ((131, 67), (37, 91)),       # odd sizes both ways
+]
+
+
+def _rand(shape, seed):
+    return np.random.RandomState(seed).randint(0, 256, shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("in_shape,out_shape", SIZES)
+@pytest.mark.parametrize("filt,pil_filt", [
+    ("bicubic", Image.BICUBIC),
+    ("bilinear", Image.BILINEAR),
+    ("nearest", Image.NEAREST),
+])
+def test_resize_matches_pil_exactly(in_shape, out_shape, filt, pil_filt):
+    img = _rand(in_shape, seed=sum(in_shape) + sum(out_shape))
+    oh, ow = out_shape
+    ref = np.asarray(Image.fromarray(img).resize((ow, oh), pil_filt))
+    got = native.resize_u8(img, (oh, ow), filter=filt)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_default_filter_matches_pil_default():
+    """PIL's Image.resize default for mode 'L' must equal our 'bicubic'."""
+    img = _rand((300, 200), seed=7)
+    ref = np.asarray(Image.fromarray(img).resize((128, 128)))
+    got = native.resize_u8(img, (128, 128))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_batch_matches_single_and_pil():
+    imgs = _rand((6, 211, 190), seed=11)
+    out = native.resize_batch_u8(imgs, (128, 128), num_threads=3)
+    for i in range(imgs.shape[0]):
+        ref = np.asarray(Image.fromarray(imgs[i]).resize((128, 128)))
+        np.testing.assert_array_equal(out[i], ref)
+
+
+def test_gif_mask_path_parity(tmp_path):
+    """Full mask path: GIF decode -> convert('L') -> resize, native vs PIL
+    (reference mask handling, dataloaders/JSRT.py:67-88)."""
+    rs = np.random.RandomState(3)
+    mask = (rs.rand(247, 247) > 0.5).astype(np.uint8) * 255
+    p = tmp_path / "m.gif"
+    Image.fromarray(mask).save(p)
+    im = Image.open(p).convert("L")
+    ref = np.asarray(im.resize((128, 128)))
+    got = native.resize_u8(np.asarray(im, np.uint8), (128, 128))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_dataset_loader_uses_native_and_matches_pil(tmp_path, monkeypatch):
+    """datasets._load_pil_image produces the same floats with the native
+    path on and off."""
+    from tedm_tpu.data import datasets
+
+    img = _rand((400, 300), seed=5)
+    p = tmp_path / "x.png"
+    Image.fromarray(img).save(p)
+
+    fast = datasets._load_pil_image(str(p), 128)
+    monkeypatch.setenv("TEDM_NATIVE", "0")
+    slow = datasets._load_pil_image(str(p), 128)
+    np.testing.assert_array_equal(fast, slow)
+    assert fast.shape == (128, 128, 1) and fast.dtype == np.float32
