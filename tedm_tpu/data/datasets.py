@@ -37,17 +37,22 @@ def _load_pil_image(path: str, img_size: int) -> np.ndarray:
     (dataloaders/JSRT.py:62-65). The resize runs through the native C++
     resampler when built (tedm_tpu/native — byte-exact with PIL, pinned by
     tests/test_native_resample.py); PIL otherwise."""
-    from PIL import Image
-
     from tedm_tpu import native
 
-    img = Image.open(path).convert("L")
-    if native.available():
-        arr8 = native.resize_u8(
-            np.asarray(img, dtype=np.uint8), (img_size, img_size)
-        )
-    else:
-        arr8 = np.asarray(img.resize((img_size, img_size)), dtype=np.uint8)
+    arr8 = None
+    if path.lower().endswith(".png") and native.png_available():
+        # fully native: libpng decode -> PIL-'L' luma -> PIL-exact resize
+        arr8 = native.load_resize_png(path, (img_size, img_size))
+    if arr8 is None:
+        from PIL import Image
+
+        img = Image.open(path).convert("L")
+        if native.available():
+            arr8 = native.resize_u8(
+                np.asarray(img, dtype=np.uint8), (img_size, img_size)
+            )
+        else:
+            arr8 = np.asarray(img.resize((img_size, img_size)), dtype=np.uint8)
     return arr8.astype(np.float32)[..., None] / 255.0
 
 

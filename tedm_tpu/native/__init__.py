@@ -27,6 +27,7 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "cc", "resample.cpp")
+_SRC_IO = os.path.join(_DIR, "cc", "imageio.cpp")
 _SO = os.path.join(_DIR, "_resample.so")
 
 FILTERS = {"nearest": 0, "bilinear": 1, "bicubic": 2}
@@ -34,19 +35,32 @@ FILTERS = {"nearest": 0, "bilinear": 1, "bicubic": 2}
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
+_has_png = False
 
 
 def _build() -> bool:
-    """Compile the .so if missing/stale. Returns True on success."""
+    """Compile the .so if missing/stale. Returns True on success.
+
+    Tries resample + PNG imageio linked against libpng first; if the
+    toolchain lacks libpng, falls back to a resize-only library (the PNG
+    entry points are then absent and ``png_available()`` is False)."""
     try:
-        if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        srcs = [_SRC, _SRC_IO]
+        newest = max(os.path.getmtime(s) for s in srcs)
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= newest:
             return True
         tmp = _SO + f".tmp{os.getpid()}"
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             _SRC, "-o", tmp],
-            check=True, capture_output=True, timeout=120,
-        )
+        base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread"]
+        try:
+            subprocess.run(
+                base + srcs + ["-lpng", "-lz", "-o", tmp],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            subprocess.run(
+                base + [_SRC, "-o", tmp],
+                check=True, capture_output=True, timeout=120,
+            )
         os.replace(tmp, _SO)  # atomic: concurrent builders race safely
         return True
     except Exception:
@@ -81,6 +95,21 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.tedm_resize_batch_u8.restype = ctypes.c_int
+        global _has_png
+        try:
+            lib.tedm_png_decode_resize.argtypes = [
+                ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.tedm_png_decode_resize.restype = ctypes.c_int
+            lib.tedm_png_decode_resize_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, u8p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.tedm_png_decode_resize_batch.restype = ctypes.c_int
+            _has_png = True
+        except AttributeError:
+            _has_png = False
         _lib = lib
         return _lib
 
@@ -141,3 +170,52 @@ def resize_batch_u8(imgs: np.ndarray, size: Tuple[int, int],
     if rc != 0:
         raise RuntimeError(f"tedm_resize_batch_u8 failed: {rc}")
     return out
+
+
+def png_available() -> bool:
+    """True iff the library was linked against libpng."""
+    return available() and _has_png
+
+
+def load_resize_png(path: str, size: Tuple[int, int],
+                    filter: str = "bicubic") -> Optional[np.ndarray]:
+    """Fused PNG decode -> PIL-'L' grayscale -> PIL-exact resize.
+
+    Matches ``Image.open(path).convert('L').resize((ow, oh))`` byte-for-byte
+    for gray8/gray16/RGB/RGBA/palette PNGs (the reference host pipeline,
+    dataloaders/CXR14.py:63-74). Returns None if the file can't be decoded
+    natively (caller falls back to PIL)."""
+    lib = _load()
+    if lib is None or not _has_png:
+        return None
+    oh, ow = size
+    out = np.empty((oh, ow), np.uint8)
+    rc = lib.tedm_png_decode_resize(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        oh, ow, FILTERS[filter],
+    )
+    return out if rc == 0 else None
+
+
+def load_resize_png_batch(paths, size: Tuple[int, int],
+                          filter: str = "bicubic",
+                          num_threads: Optional[int] = None):
+    """Batch fused decode+resize across C++ threads (no GIL).
+
+    Returns (out (B, oh, ow) u8, ok (B,) bool). Rows with ok=False failed to
+    decode natively and must be loaded by the caller's fallback."""
+    lib = _load()
+    if lib is None or not _has_png:
+        return None, None
+    oh, ow = size
+    n = len(paths)
+    out = np.empty((n, oh, ow), np.uint8)
+    status = (ctypes.c_int * n)()
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    nt = num_threads or min(n, os.cpu_count() or 1)
+    lib.tedm_png_decode_resize_batch(
+        c_paths, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        oh, ow, FILTERS[filter], nt, status,
+    )
+    ok = np.array([status[i] == 0 for i in range(n)], bool)
+    return out, ok

@@ -71,6 +71,54 @@ def test_gif_mask_path_parity(tmp_path):
     np.testing.assert_array_equal(got, ref)
 
 
+def _png_cases(tmp_path):
+    """One PNG per mode PIL would hand us (gray8, RGB, RGBA, palette,
+    gray16, 1-bit)."""
+    rs = np.random.RandomState(9)
+    cases = {}
+    g8 = rs.randint(0, 256, (220, 180), np.uint8)
+    cases["gray8"] = Image.fromarray(g8, "L")
+    cases["rgb"] = Image.fromarray(rs.randint(0, 256, (150, 200, 3), np.uint8), "RGB")
+    cases["rgba"] = Image.fromarray(rs.randint(0, 256, (150, 200, 4), np.uint8), "RGBA")
+    cases["palette"] = cases["rgb"].convert("P", palette=Image.ADAPTIVE)
+    cases["gray16"] = Image.fromarray(
+        rs.randint(0, 2**16, (120, 90), np.uint16), "I;16"
+    )
+    cases["bit1"] = cases["gray8"].convert("1")
+    paths = {}
+    for name, im in cases.items():
+        p = tmp_path / f"{name}.png"
+        im.save(p)
+        paths[name] = str(p)
+    return paths
+
+
+@pytest.mark.skipif(not native.png_available(), reason="libpng not linked")
+def test_png_decode_resize_matches_pil(tmp_path):
+    """Fused native decode+grayscale+resize == PIL open/convert('L')/resize
+    for every PNG flavor; unsupported flavors must return None (fallback),
+    never wrong bytes."""
+    for name, p in _png_cases(tmp_path).items():
+        ref = np.asarray(Image.open(p).convert("L").resize((128, 128)))
+        got = native.load_resize_png(p, (128, 128))
+        if got is None:
+            continue  # graceful fallback is acceptable
+        np.testing.assert_array_equal(got, ref, err_msg=f"mode {name}")
+
+
+@pytest.mark.skipif(not native.png_available(), reason="libpng not linked")
+def test_png_batch_and_failure_reporting(tmp_path):
+    paths = list(_png_cases(tmp_path).values())
+    bad = str(tmp_path / "missing.png")
+    out, ok = native.load_resize_png_batch(paths + [bad], (64, 64), num_threads=2)
+    assert not ok[-1]
+    for i, p in enumerate(paths):
+        if not ok[i]:
+            continue
+        ref = np.asarray(Image.open(p).convert("L").resize((64, 64)))
+        np.testing.assert_array_equal(out[i], ref)
+
+
 def test_dataset_loader_uses_native_and_matches_pil(tmp_path, monkeypatch):
     """datasets._load_pil_image produces the same floats with the native
     path on and off."""
