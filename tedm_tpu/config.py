@@ -36,6 +36,11 @@ EXPERIMENTS = (
     "conditional",    # seg DDPM conditioned on img      (reference: trainers/train_base_diffusion.py:27-30;
                       #   the reference UNet silently ignored cond — here conditioning
                       #   is real, via channel concat)
+    "joint_and_cond", # img DDPM conditioned on seg      (reference: trainers/train_base_diffusion.py:31-32
+                      #   — broken there: reads config.joint_training which no config
+                      #   defines, and its cond was ignored by the UNet. Implemented
+                      #   here as the clearly-intended p(img | seg) mirror of
+                      #   "conditional", with real channel-concat conditioning)
     "baseline",       # supervised UNet on JSRT          (reference: train.py:37-38)
     "LEDM",           # datasetDM, t=[50,150,250]        (reference: train.py:39-41)
     "LEDMe",          # datasetDM, 8 timesteps           (reference: train.py:42-44)

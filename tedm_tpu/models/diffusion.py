@@ -361,11 +361,17 @@ def train_loss(
     normalize: bool = True,
     t: Optional[Array] = None,
     valid: Optional[Array] = None,
+    aux_channel_losses: bool = False,
 ) -> Array:
     """L1 epsilon-matching loss with p2 reweighting
     (reference: models/diffusion_model.py:120-143). x_0 is in [0, 1] when
     ``normalize``; t defaults to per-sample uniform. ``valid`` (B,) masks
-    out padding rows from the mean (static-shape input pipeline)."""
+    out padding rows from the mean (static-shape input pipeline).
+
+    ``aux_channel_losses`` additionally returns the per-channel (C,) loss
+    split — the reference's intended img/seg loss logging for joint
+    training (train_base_diffusion.py:38-43,58-62, dead there because it is
+    gated on the never-defined ``config.joint_training``)."""
     n = x_0.shape[0]
     t_rng, noise_rng = jax.random.split(rng)
     if t is None:
@@ -376,12 +382,17 @@ def train_loss(
     x_t = q_sample(sched, x_0, t, noise)
     out = apply_fn(x_t, t)
     target = noise if objective == "pred_noise" else x_0
-    loss = jnp.abs(out.astype(jnp.float32) - target.astype(jnp.float32))
-    loss = loss.reshape(n, -1).mean(axis=1)
-    loss = loss * sched.p2_loss_weight[t]
-    if valid is None:
-        return loss.mean()
-    return (loss * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+    err = jnp.abs(out.astype(jnp.float32) - target.astype(jnp.float32))
+    p2 = sched.p2_loss_weight[t]
+    row_w = jnp.ones((n,), jnp.float32) if valid is None else valid.astype(jnp.float32)
+    denom = jnp.maximum(row_w.sum(), 1.0)
+    loss = err.reshape(n, -1).mean(axis=1) * p2
+    total = (loss * row_w).sum() / denom
+    if not aux_channel_losses:
+        return total
+    per_ch = err.reshape(n, -1, x_0.shape[-1]).mean(axis=1) * p2[:, None]
+    per_ch = (per_ch * row_w[:, None]).sum(axis=0) / denom
+    return total, per_ch
 
 
 def val_loss(

@@ -24,6 +24,7 @@ def dispatch(config: Config) -> None:
         "img_only": diffusion.main,
         "joint": diffusion.main,
         "conditional": diffusion.main,
+        "joint_and_cond": diffusion.main,
         "baseline": baseline.main,
         "LEDM": datasetdm.main,
         "LEDMe": datasetdm.main,

@@ -54,7 +54,7 @@ def mode_channels(config: Config) -> Tuple[int, int]:
     models/unet_model.py:333)."""
     if config.experiment == "joint":
         return 2, 2
-    if config.experiment == "conditional":
+    if config.experiment in ("conditional", "joint_and_cond"):
         return 1, 2
     return config.channels, config.channels
 
@@ -82,7 +82,7 @@ def init_params(config: Config, unet: Unet, rng) -> Any:
 
 
 def make_steps(config: Config, unet: Unet, sched, tx):
-    conditional = config.experiment == "conditional"
+    conditional = config.experiment in ("conditional", "joint_and_cond")
     x_ch, _ = mode_channels(config)
 
     def apply_fn_of(params, cond=None):
@@ -104,17 +104,27 @@ def make_steps(config: Config, unet: Unet, sched, tx):
             return jax.checkpoint(apply)
         return apply
 
+    # joint x has (img, seg) channels: log the split per the reference's
+    # intended train_loss/img + train_loss/seg (train_base_diffusion.py:58-62)
+    split_channels = x_ch > 1
+
     def loss_fn(params, x, cond, valid, rng):
-        return train_loss(
+        out = train_loss(
             apply_fn_of(params, cond), sched, rng, x,
             objective=config.objective, normalize=config.normalize, valid=valid,
+            aux_channel_losses=split_channels,
         )
+        if split_channels:
+            return out[0], out[1]
+        return out, jnp.zeros((1,), jnp.float32)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, x, cond, valid, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, cond, valid, rng)
+        (loss, ch_losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x, cond, valid, rng
+        )
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), opt_state, loss, ch_losses
 
     @jax.jit
     def eval_step(params, x, cond, valid, rng):
@@ -147,12 +157,17 @@ def make_steps(config: Config, unet: Unet, sched, tx):
 
 def batch_to_x_cond(config: Config, batch) -> Tuple[np.ndarray, np.ndarray]:
     """Per-mode (x_0, cond): img_only -> (image, dummy); joint ->
-    (cat(image, mask), dummy); conditional -> (mask, image in [-1, 1])."""
+    (cat(image, mask), dummy); conditional -> (mask, image in [-1, 1]);
+    joint_and_cond -> (image, mask in [-1, 1]) — the reference's
+    ``cond = y`` branch (train_base_diffusion.py:31-32), with the
+    conditioning actually consumed."""
     img = batch["image"]
     if config.experiment == "joint":
         return np.concatenate([img, batch["mask"]], axis=-1), np.zeros((1,), np.float32)
     if config.experiment == "conditional":
         return batch["mask"], img.astype(np.float32) * 2.0 - 1.0
+    if config.experiment == "joint_and_cond":
+        return img, batch["mask"].astype(np.float32) * 2.0 - 1.0
     return img, np.zeros((1,), np.float32)
 
 
@@ -200,7 +215,7 @@ def main(config: Config) -> None:
         params, opt_state, step = state["params"], state["opt_state"], int(state["step"])
         print(f"Resumed from {config.resume_path} at step {step}")
 
-    if config.experiment in ("joint", "conditional"):
+    if config.experiment in ("joint", "conditional", "joint_and_cond"):
         dataset = "JSRT"  # needs masks (reference: train_base_diffusion.py:26-32)
     elif config.experiment == "img_only":
         dataset = "CXR14"
@@ -226,6 +241,7 @@ def main(config: Config) -> None:
 
     best_val_loss = float("inf")
     train_losses = []
+    channel_losses = []
     t0, imgs = time.time(), 0
     with graceful_shutdown() as should_stop:
         for batch in loaders["train"].repeat():
@@ -235,22 +251,27 @@ def main(config: Config) -> None:
                 jax.profiler.start_trace(config.profile_dir)
             x, cond = batch_to_x_cond(config, batch)
             sharded = shard({"x": x, "cond": cond, "valid": batch["valid"]})
-            params, opt_state, loss = train_step(
+            params, opt_state, loss, ch_losses = train_step(
                 params, opt_state, sharded["x"], sharded["cond"], sharded["valid"], sub
             )
             if config.profile_dir and step == 15:
                 jax.block_until_ready(loss)
                 jax.profiler.stop_trace()
             train_losses.append(float(loss))
+            if config.experiment == "joint":
+                channel_losses.append(np.asarray(ch_losses))
             imgs += int(batch["valid"].sum())
 
             if step % config.log_freq == 0 or config.debug:
                 dt = time.time() - t0
-                logger.log(
-                    {"train/loss": float(np.mean(train_losses)),
-                     "train/imgs_per_sec": imgs / max(dt, 1e-9)},
-                    step,
-                )
+                metrics = {"train/loss": float(np.mean(train_losses)),
+                           "train/imgs_per_sec": imgs / max(dt, 1e-9)}
+                if channel_losses:
+                    ch = np.mean(channel_losses, axis=0)
+                    metrics["train_loss/img"] = float(ch[0])
+                    metrics["train_loss/seg"] = float(ch[1])
+                    channel_losses = []
+                logger.log(metrics, step)
                 train_losses, t0, imgs = [], time.time(), 0
 
             if step % config.val_freq == 0 or config.debug:

@@ -25,6 +25,41 @@ def test_joint_trains(tmp_path):
     assert os.path.isdir(str(tmp_path / "joint" / "None" / "j" / "best" / "state"))
 
 
+def test_joint_and_cond_trains(tmp_path):
+    """The reference's third mode (train_base_diffusion.py:31-32, broken
+    there: undefined config.joint_training + ignored cond). Here: p(img|seg)
+    with real channel-concat conditioning."""
+    train_main([
+        "--experiment", "joint_and_cond", "--log_dir", str(tmp_path / "jc"),
+        "--max_steps", "2", "--val_freq", "2", "--log_freq", "2",
+    ] + ARGS)
+    assert os.path.isdir(
+        str(tmp_path / "joint_and_cond" / "None" / "jc" / "best" / "state")
+    )
+
+
+def test_joint_channel_loss_split():
+    """aux_channel_losses: per-channel means recombine to the total loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from tedm_tpu.models.diffusion import train_loss
+    from tedm_tpu.ops.schedules import make_schedule
+
+    sched = make_schedule(8, "cosine")
+    x0 = jax.random.uniform(jax.random.PRNGKey(0), (4, 8, 8, 2))
+    apply_fn = lambda x, t: jnp.zeros_like(x)
+    total, per_ch = train_loss(
+        apply_fn, sched, jax.random.PRNGKey(1), x0, aux_channel_losses=True
+    )
+    assert per_ch.shape == (2,)
+    np.testing.assert_allclose(
+        float(per_ch.mean()), float(total), rtol=1e-5
+    )
+    alone = train_loss(apply_fn, sched, jax.random.PRNGKey(1), x0)
+    np.testing.assert_allclose(float(alone), float(total), rtol=1e-6)
+
+
 def test_conditional_trains_and_sampling_eval(tmp_path):
     train_main([
         "--experiment", "conditional", "--log_dir", str(tmp_path / "c"),
