@@ -96,6 +96,52 @@ class TimeMLP(nn.Module):
         return x
 
 
+class GNFilmSiLU(nn.Module):
+    """GroupNorm -> optional FiLM -> SiLU with the same param tree as
+    flax ``nn.GroupNorm`` (leaves ``scale``/``bias`` of shape (C,), so
+    checkpoints and the torch port are oblivious to the fusion).
+
+    With ``use_pallas`` the whole chain runs as ONE Pallas kernel (one HBM
+    read + one write; see ops/pallas/groupnorm.py). Measured on v5e at
+    128²/batch-8 the kernel wins its own battle (1.5 ms vs 3.7 ms of XLA
+    stats reduces across all 38 norms) but loses the war: the pallas call
+    boundaries break XLA's surrounding elementwise fusions (+2.8 ms fusion,
+    +0.5 ms copy, net 9.9 -> 13.6 ms fwd) — hence OPT-IN
+    (``Unet.use_pallas_groupnorm``), mirroring the flash-attention policy.
+    """
+
+    groups: int = 8
+    dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, scale_shift: Optional[Tuple[Array, Array]] = None) -> Array:
+        c = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.use_pallas:
+            from tedm_tpu.ops.pallas.groupnorm import fused_group_norm_film_silu
+
+            scale = shift = None
+            if scale_shift is not None:
+                scale = scale_shift[0].reshape(x.shape[0], c).astype(jnp.float32)
+                shift = scale_shift[1].reshape(x.shape[0], c).astype(jnp.float32)
+            return fused_group_norm_film_silu(
+                x, gamma, beta, scale, shift, groups=self.groups, eps=1e-5
+            ).astype(self.dtype)
+        # XLA path: the exact original composition (fp32 stats).
+        xf = x.astype(jnp.float32)
+        xg = xf.reshape(*x.shape[:-1], self.groups, c // self.groups)
+        mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+        var = ((xg - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + 1e-5)
+        out = xg.reshape(xf.shape) * gamma + beta
+        if scale_shift is not None:
+            s, sh = scale_shift
+            out = out * (s + 1.0) + sh
+        return nn.silu(out).astype(self.dtype)
+
+
 class Block(nn.Module):
     """Conv3x3 -> GroupNorm(8) -> optional FiLM (x*(scale+1)+shift) -> SiLU
     (reference: models/unet_model.py:119-135)."""
@@ -103,17 +149,14 @@ class Block(nn.Module):
     dim_out: int
     groups: int = 8
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, scale_shift: Optional[Tuple[Array, Array]] = None) -> Array:
         x = nn.Conv(self.dim_out, (3, 3), padding="SAME", dtype=self.dtype, name="proj")(x)
-        x = nn.GroupNorm(
-            num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm"
-        )(x)
-        if scale_shift is not None:
-            scale, shift = scale_shift
-            x = x * (scale + 1.0) + shift
-        return nn.silu(x).astype(self.dtype)
+        return GNFilmSiLU(
+            self.groups, self.dtype, self.use_pallas, name="norm"
+        )(x, scale_shift)
 
 
 class ResnetBlock(nn.Module):
@@ -125,6 +168,7 @@ class ResnetBlock(nn.Module):
     time_emb_dim: Optional[int] = None
     groups: int = 8
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, time_emb: Optional[Array] = None) -> Array:
@@ -135,8 +179,10 @@ class ResnetBlock(nn.Module):
             temb = temb[:, None, None, :]  # (B,1,1,2C)
             scale_shift = (temb[..., : self.dim_out], temb[..., self.dim_out :])
 
-        h = Block(self.dim_out, self.groups, self.dtype, name="block1")(x, scale_shift)
-        h = Block(self.dim_out, self.groups, self.dtype, name="block2")(h)
+        h = Block(self.dim_out, self.groups, self.dtype, self.use_pallas,
+                  name="block1")(x, scale_shift)
+        h = Block(self.dim_out, self.groups, self.dtype, self.use_pallas,
+                  name="block2")(h)
         if self.dim != self.dim_out:
             res = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x)
         else:
@@ -293,6 +339,12 @@ class Unet(nn.Module):
     resnet_block_groups: int = 8
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    # The fused GroupNorm+FiLM+SiLU kernel is opt-in: its own cost is fine
+    # (1.5 ms vs 3.7 ms of XLA stats reduces for all 38 norms, measured
+    # on v5e) but the pallas call boundaries break XLA's surrounding
+    # elementwise fusions (+2.8 ms fusion, +0.5 ms copy), a net loss at
+    # 128²/batch-8. Re-measure before enabling at other shapes.
+    use_pallas_groupnorm: bool = False
 
     def setup(self) -> None:
         init_dim = self.init_dim if self.init_dim is not None else self.dim
@@ -312,8 +364,8 @@ class Unet(nn.Module):
             is_last = ind >= len(in_out) - 1
             downs.append(
                 (
-                    ResnetBlock(dim_in, dim_in, time_dim, g, self.dtype),
-                    ResnetBlock(dim_in, dim_in, time_dim, g, self.dtype),
+                    ResnetBlock(dim_in, dim_in, time_dim, g, self.dtype, self.use_pallas_groupnorm),
+                    ResnetBlock(dim_in, dim_in, time_dim, g, self.dtype, self.use_pallas_groupnorm),
                     PreNormAttn(
                         dim_in,
                         LinearAttention(dim_in, dtype=self.dtype, use_pallas=self.use_pallas),
@@ -327,7 +379,7 @@ class Unet(nn.Module):
         self.downs = downs
 
         mid_dim = dims[-1]
-        self.mid_block1 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype)
+        self.mid_block1 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype, self.use_pallas_groupnorm)
         # Mid attention stays on the XLA path: the Pallas flash kernel was
         # measured 2-5x SLOWER on v5e at N=1024..4096 (d=32 contractions
         # underfill the MXU; XLA's batched einsum wins until the N x N
@@ -337,15 +389,15 @@ class Unet(nn.Module):
         self.mid_attn = PreNormAttn(
             mid_dim, Attention(mid_dim, dtype=self.dtype), self.dtype
         )
-        self.mid_block2 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype)
+        self.mid_block2 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype, self.use_pallas_groupnorm)
 
         ups = []
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == len(in_out) - 1
             ups.append(
                 (
-                    ResnetBlock(dim_out + dim_in, dim_out, time_dim, g, self.dtype),
-                    ResnetBlock(dim_out + dim_in, dim_out, time_dim, g, self.dtype),
+                    ResnetBlock(dim_out + dim_in, dim_out, time_dim, g, self.dtype, self.use_pallas_groupnorm),
+                    ResnetBlock(dim_out + dim_in, dim_out, time_dim, g, self.dtype, self.use_pallas_groupnorm),
                     PreNormAttn(
                         dim_out,
                         LinearAttention(dim_out, dtype=self.dtype, use_pallas=self.use_pallas),
@@ -359,7 +411,7 @@ class Unet(nn.Module):
         self.ups = ups
 
         out_dim = self.out_dim if self.out_dim is not None else self.channels
-        self.final_res_block = ResnetBlock(self.dim * 2, self.dim, time_dim, g, self.dtype)
+        self.final_res_block = ResnetBlock(self.dim * 2, self.dim, time_dim, g, self.dtype, self.use_pallas_groupnorm)
         self.final_conv = nn.Conv(out_dim, (1, 1), dtype=self.dtype, name="final_conv")
 
     # ------------------------------------------------------------- pieces
