@@ -204,6 +204,11 @@ class LinearAttention(nn.Module):
     dim_head: int = 32
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    # 'heads_major' mirrors the reference's 'b (h c) x y -> b h c (x y)'
+    # transpose before the einsums; 'nhwc' keeps the conv's native
+    # (B, N, heads, d) layout and lets XLA contract in place (no explicit
+    # transposes — the copies they lower to cost ~1.2 ms/fwd, profiled).
+    layout: str = "heads_major"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -214,28 +219,44 @@ class LinearAttention(nn.Module):
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        # (B, H, W, heads*dh) -> (B, heads, dh, N): mirror the reference's
-        # 'b (h c) x y -> b h c (x y)' head-major channel split.
-        def to_heads(t: Array) -> Array:
-            t = t.reshape(b, h * w, self.heads, self.dim_head)
-            return t.transpose(0, 2, 3, 1)
-
-        q, k, v = to_heads(q), to_heads(k), to_heads(v)
-
         if self.use_pallas:
+            # (B, H, W, heads*dh) -> (B, heads, dh, N): the reference's
+            # 'b (h c) x y -> b h c (x y)' head-major channel split.
+            def to_heads(t: Array) -> Array:
+                t = t.reshape(b, h * w, self.heads, self.dim_head)
+                return t.transpose(0, 2, 3, 1)
+
             from tedm_tpu.ops.pallas.linear_attention import linear_attention
 
-            out = linear_attention(q, k, v, scale=self.dim_head**-0.5)
+            out = linear_attention(
+                to_heads(q), to_heads(k), to_heads(v), scale=self.dim_head**-0.5
+            )
+            out = out.transpose(0, 3, 1, 2).reshape(b, h, w, hidden)
+        elif self.layout == "nhwc":
+            # same math, contraction over N in the conv-native layout
+            sh = (b, h * w, self.heads, self.dim_head)
+            qf = jax.nn.softmax(q.reshape(sh).astype(jnp.float32), axis=3)
+            kf = jax.nn.softmax(k.reshape(sh).astype(jnp.float32), axis=1)
+            qf = qf * (self.dim_head**-0.5)
+            vf = v.reshape(sh).astype(jnp.float32) / (h * w)
+            context = jnp.einsum("bnhd,bnhe->bhde", kf, vf)
+            out = jnp.einsum("bhde,bnhd->bnhe", context, qf)
+            out = out.reshape(b, h, w, hidden)
         else:
+            def to_heads(t: Array) -> Array:
+                t = t.reshape(b, h * w, self.heads, self.dim_head)
+                return t.transpose(0, 2, 3, 1)
+
+            q, k, v = to_heads(q), to_heads(k), to_heads(v)
             qf = jax.nn.softmax(q.astype(jnp.float32), axis=2)  # over d
             kf = jax.nn.softmax(k.astype(jnp.float32), axis=3)  # over n
             qf = qf * (self.dim_head**-0.5)
             vf = v.astype(jnp.float32) / (h * w)
             context = jnp.einsum("bhdn,bhen->bhde", kf, vf)
             out = jnp.einsum("bhde,bhdn->bhen", context, qf)
+            out = out.transpose(0, 3, 1, 2).reshape(b, h, w, hidden)
 
-        out = out.transpose(0, 3, 1, 2).reshape(b, h, w, hidden).astype(self.dtype)
-        out = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="to_out")(out)
+        out = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="to_out")(out.astype(self.dtype))
         return ChanLayerNorm(self.dim, self.dtype, name="out_norm")(out)
 
 
@@ -339,6 +360,9 @@ class Unet(nn.Module):
     resnet_block_groups: int = 8
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    # Linear-attention einsum layout ('heads_major' | 'nhwc'), see
+    # LinearAttention.layout. Ignored when use_pallas (kernel has its own).
+    attn_layout: str = "heads_major"
     # The fused GroupNorm+FiLM+SiLU kernel is opt-in: its own cost is fine
     # (1.5 ms vs 3.7 ms of XLA stats reduces for all 38 norms, measured
     # on v5e) but the pallas call boundaries break XLA's surrounding
@@ -368,7 +392,7 @@ class Unet(nn.Module):
                     ResnetBlock(dim_in, dim_in, time_dim, g, self.dtype, self.use_pallas_groupnorm),
                     PreNormAttn(
                         dim_in,
-                        LinearAttention(dim_in, dtype=self.dtype, use_pallas=self.use_pallas),
+                        LinearAttention(dim_in, dtype=self.dtype, use_pallas=self.use_pallas, layout=self.attn_layout),
                         self.dtype,
                     ),
                     Downsample(dim_out, self.dtype)
@@ -400,7 +424,7 @@ class Unet(nn.Module):
                     ResnetBlock(dim_out + dim_in, dim_out, time_dim, g, self.dtype, self.use_pallas_groupnorm),
                     PreNormAttn(
                         dim_out,
-                        LinearAttention(dim_out, dtype=self.dtype, use_pallas=self.use_pallas),
+                        LinearAttention(dim_out, dtype=self.dtype, use_pallas=self.use_pallas, layout=self.attn_layout),
                         self.dtype,
                     ),
                     Upsample(dim_in, self.dtype)

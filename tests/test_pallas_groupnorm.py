@@ -113,6 +113,19 @@ def test_unet_param_tree_unchanged():
     assert norm["scale"].shape == (16,) and norm["bias"].shape == (16,)
 
 
+def test_linear_attention_nhwc_layout_matches():
+    """The 'nhwc' (transpose-free) einsum layout computes the same linear
+    attention as the reference 'heads_major' layout."""
+    from tedm_tpu.models.unet import LinearAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 8, 32))
+    m0 = LinearAttention(32, layout="heads_major")
+    params = m0.init(jax.random.PRNGKey(7), x)["params"]
+    y0 = m0.apply({"params": params}, x)
+    y1 = LinearAttention(32, layout="nhwc").apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+
+
 def test_unet_forward_same_with_and_without_fusion():
     """On CPU use_pallas falls back to the jnp reference — outputs must
     match the unfused model closely (same params)."""
