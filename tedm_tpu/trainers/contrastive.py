@@ -119,10 +119,10 @@ def _train_cl(config: Config, model, variables, loss_of, grad_mask=None) -> None
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, batch["image"], sub
         )
-        train_losses.append(float(loss))
+        train_losses.append(loss)  # device scalar: no per-step host sync
 
         if step % config.log_freq == 0 or config.debug:
-            logger.log({"train/loss": float(np.mean(train_losses))}, step)
+            logger.log({"train/loss": float(np.mean([float(l) for l in train_losses]))}, step)
             train_losses = []
 
         if step % config.val_freq == 0 or config.debug:
@@ -375,9 +375,9 @@ def _train_finetune_with_freeze(config, task, tx, frozen, loaders, logger):
             params, opt_state, batch["image"], batch["mask"], batch["valid"],
             sub, jnp.int32(step),
         )
-        train_losses.append(float(loss))
+        train_losses.append(loss)  # device scalar: no per-step host sync
         if step % config.log_freq == 0 or config.debug:
-            logger.log({"train/loss": float(np.mean(train_losses))}, step)
+            logger.log({"train/loss": float(np.mean([float(l) for l in train_losses]))}, step)
             train_losses = []
         if step % config.val_freq == 0 or config.debug:
             rng, vrng = jax.random.split(rng)
