@@ -119,27 +119,20 @@ class GNFilmSiLU(nn.Module):
         c = x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        if self.use_pallas:
-            from tedm_tpu.ops.pallas.groupnorm import fused_group_norm_film_silu
+        from tedm_tpu.ops.pallas.groupnorm import (
+            fused_group_norm_film_silu,
+            group_norm_film_silu_reference,
+        )
 
-            scale = shift = None
-            if scale_shift is not None:
-                scale = scale_shift[0].reshape(x.shape[0], c).astype(jnp.float32)
-                shift = scale_shift[1].reshape(x.shape[0], c).astype(jnp.float32)
-            return fused_group_norm_film_silu(
-                x, gamma, beta, scale, shift, groups=self.groups, eps=1e-5
-            ).astype(self.dtype)
-        # XLA path: the exact original composition (fp32 stats).
-        xf = x.astype(jnp.float32)
-        xg = xf.reshape(*x.shape[:-1], self.groups, c // self.groups)
-        mean = xg.mean(axis=(1, 2, 4), keepdims=True)
-        var = ((xg - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + 1e-5)
-        out = xg.reshape(xf.shape) * gamma + beta
+        scale = shift = None
         if scale_shift is not None:
-            s, sh = scale_shift
-            out = out * (s + 1.0) + sh
-        return nn.silu(out).astype(self.dtype)
+            scale = scale_shift[0].reshape(x.shape[0], c).astype(jnp.float32)
+            shift = scale_shift[1].reshape(x.shape[0], c).astype(jnp.float32)
+        # one source of truth for the math: the kernel's own jnp reference
+        fn = fused_group_norm_film_silu if self.use_pallas else group_norm_film_silu_reference
+        return fn(
+            x, gamma, beta, scale, shift, groups=self.groups, eps=1e-5
+        ).astype(self.dtype)
 
 
 class Block(nn.Module):
@@ -219,13 +212,13 @@ class LinearAttention(nn.Module):
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        if self.use_pallas:
-            # (B, H, W, heads*dh) -> (B, heads, dh, N): the reference's
-            # 'b (h c) x y -> b h c (x y)' head-major channel split.
-            def to_heads(t: Array) -> Array:
-                t = t.reshape(b, h * w, self.heads, self.dim_head)
-                return t.transpose(0, 2, 3, 1)
+        # (B, H, W, heads*dh) -> (B, heads, dh, N): the reference's
+        # 'b (h c) x y -> b h c (x y)' head-major channel split.
+        def to_heads(t: Array) -> Array:
+            t = t.reshape(b, h * w, self.heads, self.dim_head)
+            return t.transpose(0, 2, 3, 1)
 
+        if self.use_pallas:
             from tedm_tpu.ops.pallas.linear_attention import linear_attention
 
             out = linear_attention(
@@ -243,10 +236,6 @@ class LinearAttention(nn.Module):
             out = jnp.einsum("bhde,bnhd->bnhe", context, qf)
             out = out.reshape(b, h, w, hidden)
         else:
-            def to_heads(t: Array) -> Array:
-                t = t.reshape(b, h * w, self.heads, self.dim_head)
-                return t.transpose(0, 2, 3, 1)
-
             q, k, v = to_heads(q), to_heads(k), to_heads(v)
             qf = jax.nn.softmax(q.astype(jnp.float32), axis=2)  # over d
             kf = jax.nn.softmax(k.astype(jnp.float32), axis=3)  # over n

@@ -43,27 +43,46 @@ def _build() -> bool:
 
     Tries resample + PNG imageio linked against libpng first; if the
     toolchain lacks libpng, falls back to a resize-only library (the PNG
-    entry points are then absent and ``png_available()`` is False)."""
+    entry points are then absent and ``png_available()`` is False). A
+    sidecar ``.meta`` file records which flavor was built so a libpng-less
+    build is retried once libpng headers appear (rather than being frozen
+    by the mtime check forever)."""
+    meta = _SO + ".meta"
+    tmp = _SO + f".tmp{os.getpid()}"
     try:
         srcs = [_SRC, _SRC_IO]
         newest = max(os.path.getmtime(s) for s in srcs)
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= newest:
-            return True
-        tmp = _SO + f".tmp{os.getpid()}"
+            flavor = ""
+            if os.path.exists(meta):
+                with open(meta) as f:
+                    flavor = f.read().strip()
+            png_header = os.path.exists("/usr/include/png.h")
+            if flavor == "png" or not png_header:
+                return True
+            # fall through: rebuild to pick up newly-available libpng
         base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread"]
         try:
             subprocess.run(
                 base + srcs + ["-lpng", "-lz", "-o", tmp],
                 check=True, capture_output=True, timeout=120,
             )
+            flavor = "png"
         except Exception:
             subprocess.run(
                 base + [_SRC, "-o", tmp],
                 check=True, capture_output=True, timeout=120,
             )
+            flavor = "nopng"
         os.replace(tmp, _SO)  # atomic: concurrent builders race safely
+        with open(meta, "w") as f:
+            f.write(flavor)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

@@ -12,9 +12,10 @@
 //   RGB / RGBA       -> L = (R*19595 + G*38470 + B*7471 + 0x8000) >> 16
 //                       (Pillow convert.c L24 macro; alpha ignored, as PIL)
 //   palette          -> palette->RGB -> same luma
-//   gray16           -> saturating clamp to 255 (Pillow opens 16-bit gray
+//   gray16 (no alpha)-> saturating clamp to 255 (Pillow opens 16-bit gray
 //                       PNG as I;16 and convert('L') clamps, verified
 //                       against Pillow 12.1; NOT the high byte)
+//   gray16 + alpha   -> high byte (Pillow reads LA;16B as 8-bit channels)
 //   1/2/4-bit gray   -> expanded to 8 bit
 // Interlaced PNGs are handled by png_read_image. Anything that fails to
 // decode returns nonzero and the Python caller falls back to PIL.
@@ -72,9 +73,10 @@ int decode_png_gray(const char* path, std::vector<uint8_t>* gray, int* out_h,
   const int bit_depth = png_get_bit_depth(png, info);
   const int color_type = png_get_color_type(png, info);
 
-  const bool gray16 =
-      bit_depth == 16 && (color_type == PNG_COLOR_TYPE_GRAY ||
-                          color_type == PNG_COLOR_TYPE_GRAY_ALPHA);
+  // Only alpha-less 16-bit gray maps to Pillow's I;16 clamp semantics;
+  // 16-bit gray+alpha is opened by Pillow as 8-bit-per-channel (high
+  // byte), so it goes through strip_16 like RGB.
+  const bool gray16 = bit_depth == 16 && color_type == PNG_COLOR_TYPE_GRAY;
   if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8) {
     png_set_expand_gray_1_2_4_to_8(png);

@@ -129,6 +129,22 @@ def _fwd_pallas(x3: Array, gamma: Array, beta: Array, scale: Array,
 # ---------------------------------------------------------------- jnp paths
 
 
+def group_norm_film_silu_reference(
+    x: Array, gamma: Array, beta: Array,
+    scale: Optional[Array] = None, shift: Optional[Array] = None,
+    *, groups: int = 8, eps: float = 1e-5,
+) -> Array:
+    """Pure-jnp GroupNorm -> FiLM -> SiLU — the single source of truth for
+    the math (the Pallas kernel is tested against it; the UNet's XLA path
+    calls it, so model and kernel fallback can never drift apart)."""
+    b, _, _, c = x.shape
+    if scale is None:
+        scale = jnp.zeros((b, c), jnp.float32)
+    if shift is None:
+        shift = jnp.zeros((b, c), jnp.float32)
+    return _reference(x, gamma, beta, scale, shift, groups, eps)
+
+
 def _reference(x: Array, gamma: Array, beta: Array, scale: Array,
                shift: Array, groups: int, eps: float) -> Array:
     """jnp reference: identical math, NHWC, biased variance, fp32 stats."""
@@ -250,4 +266,8 @@ def fused_group_norm_film_silu_interpret(x, gamma, beta, scale=None, shift=None,
         scale = jnp.zeros((b, c), jnp.float32)
     if shift is None:
         shift = jnp.zeros((b, c), jnp.float32)
+    if c % groups or _pick_tile(x.shape[1] * x.shape[2]) == 0:
+        # kernel-unsupported shape (odd H*W / non-divisible channels):
+        # same fallback as the compiled entry, never a trace-time crash
+        return _reference(x, gamma, beta, scale, shift, groups, eps)
     return _gn_film_silu(x, gamma, beta, scale, shift, groups, eps, True)

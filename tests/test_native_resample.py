@@ -96,14 +96,46 @@ def _png_cases(tmp_path):
 @pytest.mark.skipif(not native.png_available(), reason="libpng not linked")
 def test_png_decode_resize_matches_pil(tmp_path):
     """Fused native decode+grayscale+resize == PIL open/convert('L')/resize
-    for every PNG flavor; unsupported flavors must return None (fallback),
-    never wrong bytes."""
+    for every PNG flavor; the common flavors MUST take the native path
+    (None would silently unpin the contract), rarer ones may fall back but
+    must never return wrong bytes."""
+    must_decode = {"gray8", "rgb", "rgba", "palette", "gray16", "bit1"}
     for name, p in _png_cases(tmp_path).items():
         ref = np.asarray(Image.open(p).convert("L").resize((128, 128)))
         got = native.load_resize_png(p, (128, 128))
         if got is None:
-            continue  # graceful fallback is acceptable
+            assert name not in must_decode, f"{name} fell back to PIL"
+            continue
         np.testing.assert_array_equal(got, ref, err_msg=f"mode {name}")
+
+
+@pytest.mark.skipif(not native.png_available(), reason="libpng not linked")
+def test_png_gray16_alpha_matches_pil(tmp_path):
+    """16-bit gray+alpha: Pillow reads it as 8-bit-per-channel (high byte),
+    NOT with the I;16 clamp — regression test for the gray16 branch."""
+    rs = np.random.RandomState(13)
+    g = rs.randint(0, 2**16, (40, 30), np.uint16)
+    a = np.full((40, 30), 65535, np.uint16)
+    import struct, zlib
+
+    # hand-rolled 16-bit gray+alpha PNG (PIL can't write LA;16B)
+    raw = b""
+    ga = np.stack([g, a], axis=-1).astype(">u2")
+    for row in ga:
+        raw += b"\x00" + row.tobytes()
+    def chunk(tag, data):
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 30, 40, 16, 4, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    p = tmp_path / "ga16.png"
+    p.write_bytes(png)
+    ref = np.asarray(Image.open(p).convert("L").resize((16, 16)))
+    got = native.load_resize_png(str(p), (16, 16))
+    if got is not None:
+        np.testing.assert_array_equal(got, ref)
 
 
 @pytest.mark.skipif(not native.png_available(), reason="libpng not linked")

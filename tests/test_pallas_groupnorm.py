@@ -66,6 +66,23 @@ def test_pallas_kernel_bf16_interpret():
     )
 
 
+def test_odd_shapes_fall_back_not_crash():
+    """H*W not divisible by 8 (or C % groups != 0) must fall back to the
+    jnp reference in BOTH public entries, never ZeroDivisionError."""
+    x = jnp.ones((1, 3, 5, 8))
+    g, b = jnp.ones((8,)), jnp.zeros((8,))
+    ref = _unfused(x, g, b, None, None)
+    for fn in (fused_group_norm_film_silu, fused_group_norm_film_silu_interpret):
+        out = fn(x, g, b, groups=8)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # C not divisible by groups
+    x9 = jnp.ones((1, 8, 8, 9))
+    out = fused_group_norm_film_silu_interpret(
+        x9, jnp.ones((9,)), jnp.zeros((9,)), groups=3
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_custom_vjp_matches_autodiff():
     """Analytic backward == XLA autodiff of the unfused composition, for
     every input (x, gamma, beta, scale, shift)."""
