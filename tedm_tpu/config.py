@@ -135,6 +135,10 @@ class Config:
     mesh_axes: Tuple[str, ...] = ("data",)
     param_sharding: str = "replicated"    # 'replicated' | 'tp' (shard wide convs over 'model' axis)
     use_pallas: bool = True               # fused Pallas kernels where available (TPU only)
+    use_pallas_groupnorm: bool = False    # fused GroupNorm+FiLM+SiLU kernel (opt-in:
+                                          # measured slower at 128² — see docs/DESIGN.md)
+    attn_layout: str = "heads_major"      # linear-attention einsum layout
+                                          # ('heads_major' | 'nhwc'; measured equal on v5e)
     synthetic_data: bool = False          # deterministic synthetic CXR data (no image files needed)
     profile_dir: Optional[str] = None     # jax.profiler trace output (steps ~10-15)
     multihost: bool = False               # call jax.distributed.initialize() at startup
@@ -307,6 +311,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--param_sharding", type=str, default=defaults.param_sharding,
                    choices=["replicated", "tp"])
     p.add_argument("--no_pallas", action="store_true", help="disable Pallas kernels")
+    p.add_argument("--use_pallas_groupnorm", action="store_true",
+                   help="fused GroupNorm+FiLM+SiLU kernel (opt-in; re-measure per shape)")
+    p.add_argument("--attn_layout", type=str, default=defaults.attn_layout,
+                   choices=["heads_major", "nhwc"],
+                   help="linear-attention einsum layout (measured equal on v5e)")
     p.add_argument("--synthetic_data", action="store_true")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--multihost", action="store_true",

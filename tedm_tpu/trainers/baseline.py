@@ -28,6 +28,10 @@ def build_task(config: Config, rng) -> SegTask:
         out_dim=config.out_channels,
         dtype=dtype,
         use_pallas=config.use_pallas and jax.default_backend() == "tpu",
+        use_pallas_groupnorm=(
+            config.use_pallas_groupnorm and jax.default_backend() == "tpu"
+        ),
+        attn_layout=config.attn_layout,
     )
     variables = unet.init(
         rng,

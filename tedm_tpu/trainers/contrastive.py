@@ -151,6 +151,10 @@ def main_global(config: Config) -> None:
         img_size=config.img_size, dim=config.dim, dim_mults=tuple(config.dim_mults),
         channels=config.channels,
         use_pallas=config.use_pallas and jax.default_backend() == "tpu",
+        use_pallas_groupnorm=(
+            config.use_pallas_groupnorm and jax.default_backend() == "tpu"
+        ),
+        attn_layout=config.attn_layout,
     )
     variables = model.init(
         jax.random.PRNGKey(config.seed),
@@ -168,6 +172,10 @@ def main_local(config: Config) -> None:
         img_size=config.img_size, dim=config.dim, dim_mults=tuple(config.dim_mults),
         channels=config.channels,
         use_pallas=config.use_pallas and jax.default_backend() == "tpu",
+        use_pallas_groupnorm=(
+            config.use_pallas_groupnorm and jax.default_backend() == "tpu"
+        ),
+        attn_layout=config.attn_layout,
     )
     variables = dict(model.init(
         jax.random.PRNGKey(config.seed),
@@ -251,6 +259,10 @@ def main_finetune(config: Config) -> None:
         dim=config.dim, dim_mults=tuple(config.dim_mults), channels=config.channels,
         out_dim=config.out_channels, dtype=dtype,
         use_pallas=config.use_pallas and jax.default_backend() == "tpu",
+        use_pallas_groupnorm=(
+            config.use_pallas_groupnorm and jax.default_backend() == "tpu"
+        ),
+        attn_layout=config.attn_layout,
     )
     rng = jax.random.PRNGKey(config.seed)
     params = unet.init(

@@ -44,6 +44,10 @@ def load_backbone(config: Config, rng) -> Tuple[Unet, Any, Any]:
             dim=old.dim, dim_mults=tuple(old.dim_mults), channels=old.channels,
             dtype=dtype,
             use_pallas=config.use_pallas and jax.default_backend() == "tpu",
+        use_pallas_groupnorm=(
+            config.use_pallas_groupnorm and jax.default_backend() == "tpu"
+        ),
+        attn_layout=config.attn_layout,
         )
         template = unet.init(
             rng,
@@ -69,6 +73,10 @@ def load_backbone(config: Config, rng) -> Tuple[Unet, Any, Any]:
         dim=config.dim, dim_mults=tuple(config.dim_mults), channels=config.channels,
         dtype=dtype,
         use_pallas=config.use_pallas and jax.default_backend() == "tpu",
+        use_pallas_groupnorm=(
+            config.use_pallas_groupnorm and jax.default_backend() == "tpu"
+        ),
+        attn_layout=config.attn_layout,
     )
     params = unet.init(
         rng,

@@ -69,6 +69,10 @@ def build_model(config: Config) -> Unet:
         out_dim=x_ch,
         dtype=dtype,
         use_pallas=config.use_pallas and jax.default_backend() == "tpu",
+        use_pallas_groupnorm=(
+            config.use_pallas_groupnorm and jax.default_backend() == "tpu"
+        ),
+        attn_layout=config.attn_layout,
     )
 
 
