@@ -115,11 +115,30 @@ class CXR14Dataset:
     def __len__(self) -> int:
         return len(self.df)
 
+    def _path(self, index: int) -> str:
+        return os.path.join(self.data_path, self.df.loc[index, "Image Index"])
+
     def __getitem__(self, index: int) -> np.ndarray:
-        return _load_pil_image(
-            os.path.join(self.data_path, self.df.loc[index, "Image Index"]),
-            self.img_size,
-        )
+        return _load_pil_image(self._path(index), self.img_size)
+
+    def get_batch(self, indices) -> np.ndarray:
+        """Whole-batch load: one native C++ call decodes+resizes every PNG
+        across `std::thread`s with no GIL (tedm_tpu/native). Byte-identical
+        to per-item __getitem__ (same decode/resample code); rows the
+        native path can't handle fall back to PIL individually."""
+        from tedm_tpu import native
+
+        paths = [self._path(i) for i in indices]
+        if native.png_available() and all(p.lower().endswith(".png") for p in paths):
+            out, ok = native.load_resize_png_batch(
+                paths, (self.img_size, self.img_size)
+            )
+            if out is not None:
+                imgs = out.astype(np.float32)[..., None] / 255.0
+                for j in np.nonzero(~ok)[0]:
+                    imgs[j] = _load_pil_image(paths[j], self.img_size)
+                return imgs
+        return np.stack([_load_pil_image(p, self.img_size) for p in paths])
 
 
 class NIHDataset:

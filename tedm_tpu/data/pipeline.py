@@ -70,10 +70,18 @@ class Loader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _make_batch(self, idxs: np.ndarray, pool: ThreadPoolExecutor) -> Dict[str, np.ndarray]:
-        items = list(pool.map(self.dataset.__getitem__, idxs))
         bs = self.batch_size
         valid = np.zeros((bs,), np.float32)
-        valid[: len(items)] = 1.0
+        valid[: len(idxs)] = 1.0
+        # Whole-batch fast path (unlabeled image datasets): one native C++
+        # call decodes+resizes the batch across std::threads, no GIL.
+        if not self.has_labels and hasattr(self.dataset, "get_batch"):
+            imgs = np.asarray(self.dataset.get_batch(list(idxs)))
+            if len(idxs) < bs:
+                pad = bs - len(idxs)
+                imgs = np.concatenate([imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)])
+            return {"image": imgs, "valid": valid}
+        items = list(pool.map(self.dataset.__getitem__, idxs))
         if self.has_labels:
             imgs = np.stack([it[0] for it in items])
             masks = np.stack([it[1] for it in items])

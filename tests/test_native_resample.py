@@ -151,6 +151,33 @@ def test_png_batch_and_failure_reporting(tmp_path):
         np.testing.assert_array_equal(out[i], ref)
 
 
+def test_cxr14_get_batch_matches_per_item(tmp_path):
+    """Loader's whole-batch native path == per-item __getitem__ exactly."""
+    import pandas as pd
+
+    from tedm_tpu.data.datasets import CXR14Dataset
+    from tedm_tpu.data.pipeline import Loader
+
+    rs = np.random.RandomState(2)
+    names = []
+    for i in range(5):
+        a = rs.randint(0, 256, (200 + 7 * i, 180), np.uint8)
+        name = f"x{i}.png"
+        Image.fromarray(a).save(tmp_path / name)
+        names.append(name)
+    pd.DataFrame({"Image Index": names}).to_csv(tmp_path / "train_split.csv", index=False)
+    ds = CXR14Dataset(str(tmp_path), "train_split.csv", img_size=64,
+                      splits_dir=str(tmp_path))
+    per_item = np.stack([ds[i] for i in range(5)])
+    batched = ds.get_batch(list(range(5)))
+    np.testing.assert_array_equal(per_item, batched)
+    # and through the Loader (batch 3 -> one full + one padded batch)
+    batches = list(Loader(ds, batch_size=3, shuffle=False))
+    got = np.concatenate([b["image"] for b in batches])[:5]
+    np.testing.assert_array_equal(got, per_item)
+    assert batches[1]["valid"].tolist() == [1.0, 1.0, 0.0]
+
+
 def test_dataset_loader_uses_native_and_matches_pil(tmp_path, monkeypatch):
     """datasets._load_pil_image produces the same floats with the native
     path on and off."""
