@@ -38,11 +38,15 @@ class GlobalCL(nn.Module):
     g_out: int = 128
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_groupnorm: bool = False
+    attn_layout: str = "heads_major"
 
     def setup(self) -> None:
         self.unet = Unet(
             dim=self.dim, dim_mults=tuple(self.dim_mults), channels=self.channels,
-            dtype=self.dtype, use_pallas=self.use_pallas, name="unet",
+            dtype=self.dtype, use_pallas=self.use_pallas,
+            use_pallas_groupnorm=self.use_pallas_groupnorm,
+            attn_layout=self.attn_layout, name="unet",
         )
         self.g1_fc1 = nn.Dense(self.g_emb, use_bias=False, dtype=self.dtype, name="g1_fc1")
         self.g1_fc2 = nn.Dense(self.g_out, use_bias=False, dtype=self.dtype, name="g1_fc2")
@@ -68,11 +72,15 @@ class LocalCL(nn.Module):
     l: int = 2
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_groupnorm: bool = False
+    attn_layout: str = "heads_major"
 
     def setup(self) -> None:
         self.unet = Unet(
             dim=self.dim, dim_mults=tuple(self.dim_mults), channels=self.channels,
-            dtype=self.dtype, use_pallas=self.use_pallas, name="unet",
+            dtype=self.dtype, use_pallas=self.use_pallas,
+            use_pallas_groupnorm=self.use_pallas_groupnorm,
+            attn_layout=self.attn_layout, name="unet",
         )
         dims = [self.dim] + [self.dim * m for m in self.dim_mults]
         mid_dim = dims[-self.l - 1]
