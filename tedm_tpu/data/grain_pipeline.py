@@ -50,6 +50,7 @@ class GrainLoader:
         shard_count: int = 1,
         num_workers: int = 0,
         subset: Optional[int] = None,
+        drop_last: bool = False,
     ):
         import numpy as np
 
@@ -64,6 +65,7 @@ class GrainLoader:
         self._seed = seed
         self._shard = (shard_index, shard_count)
         self._num_workers = num_workers
+        self.drop_last = drop_last
         self.epoch = 0
 
     def _epoch_ds(self, epoch: int):
@@ -79,6 +81,8 @@ class GrainLoader:
 
     def __len__(self) -> int:
         n = len(self._epoch_ds(0))
+        if self.drop_last:
+            return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _to_batch(self, items) -> Dict[str, np.ndarray]:
@@ -114,7 +118,7 @@ class GrainLoader:
             if len(buf) == self.batch_size:
                 yield self._to_batch(buf)
                 buf = []
-        if buf:
+        if buf and not self.drop_last:
             yield self._to_batch(buf)
 
     def repeat(self) -> Iterator[Dict[str, np.ndarray]]:

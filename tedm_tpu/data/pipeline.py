@@ -52,8 +52,17 @@ class Loader:
         self.prefetch = prefetch
         self.epoch = 0
 
-        shard_n = len(self._shard_indices(0))
-        self.batch_size = min(batch_size, max(1, shard_n))
+        # Shard-INVARIANT batch size and per-epoch batch count: in a
+        # multi-host run every process must compile the same shapes and
+        # step the same number of batches per epoch (strided shard sizes
+        # differ by one, which would otherwise desync the SPMD program).
+        max_shard = (n + shard_count - 1) // shard_count
+        min_shard = n // shard_count
+        self.batch_size = min(batch_size, max(1, max_shard))
+        if drop_last:
+            self._epoch_batches = min_shard // self.batch_size
+        else:
+            self._epoch_batches = (max_shard + self.batch_size - 1) // self.batch_size
 
     def _shard_indices(self, epoch: int) -> np.ndarray:
         idx = self.indices
@@ -64,15 +73,26 @@ class Loader:
         return idx[self.shard_index :: self.shard_count]
 
     def __len__(self) -> int:
-        n = len(self._shard_indices(0))
-        if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        return self._epoch_batches
+
+    def _item_shapes(self):
+        """Shapes for fully-padded batches (only needed when this host's
+        shard runs out before the epoch's shard-invariant batch count)."""
+        it = self.dataset[0]
+        if self.has_labels:
+            return it[0].shape, it[1].shape
+        return it.shape, None
 
     def _make_batch(self, idxs: np.ndarray, pool: ThreadPoolExecutor) -> Dict[str, np.ndarray]:
         bs = self.batch_size
         valid = np.zeros((bs,), np.float32)
         valid[: len(idxs)] = 1.0
+        if len(idxs) == 0:  # lockstep filler for a shorter shard
+            img_s, mask_s = self._item_shapes()
+            out = {"image": np.zeros((bs, *img_s), np.float32), "valid": valid}
+            if mask_s is not None:
+                out["mask"] = np.zeros((bs, *mask_s), np.float32)
+            return out
         # Whole-batch fast path (unlabeled image datasets): one native C++
         # call decodes+resizes the batch across std::threads, no GIL.
         if not self.has_labels and hasattr(self.dataset, "get_batch"):
@@ -104,6 +124,12 @@ class Loader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        # Every host emits exactly _epoch_batches batches (shard-invariant):
+        # truncate or pad with empty index lists (yielding valid=0 filler)
+        # so multi-host SPMD stays in lockstep on uneven shards.
+        batches = batches[: self._epoch_batches]
+        while len(batches) < self._epoch_batches:
+            batches.append(np.array([], dtype=np.int64))
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -162,6 +188,7 @@ def build_dataloaders(
     shard_count: int = 1,
     synthetic: bool = False,
     backend: str = "threads",
+    drop_last: bool = False,
 ) -> Dict[str, Loader]:
     """The reference's per-dataset ``build_dataloaders`` surface
     (dataloaders/JSRT.py:17-46, dataloaders/CXR14.py:21-45) behind one
@@ -191,6 +218,7 @@ def build_dataloaders(
         shard_index=shard_index if shard else 0,
         shard_count=shard_count if shard else 1,
         subset=subset,
+        drop_last=drop_last,
         **extra,
     )
 

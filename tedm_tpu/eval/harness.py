@@ -131,13 +131,11 @@ def load_diffusion_experiment(exp_dir: str):
     return config, state["params"], unet, sched
 
 
-def predict_conditional_dataset(
-    config, params, unet, sched, loader, rng, n_runs: int = 5
-) -> Tuple[np.ndarray, np.ndarray]:
-    """The reference's most expensive inference path (run_tests.py:121-137):
-    per batch, ``n_runs`` independent full reverse-sampling trajectories of
-    the segmentation conditioned on the image, averaged. Here each run is
-    one jitted lax.scan instead of 1000 Python-level kernel launches."""
+def make_conditional_sampler(config, unet, sched):
+    """Jitted one-trajectory conditional sampler — build ONCE per
+    experiment and reuse across the four eval datasets (a fresh closure
+    per dataset would recompile the full-UNet sampling scan 4×, minutes
+    each through the axon tunnel)."""
     from tedm_tpu.models.diffusion import ddim_sample_loop, sample_loop
 
     @jax.jit
@@ -159,6 +157,21 @@ def predict_conditional_dataset(
                 dynamic_threshold_percentile=config.dynamic_threshold_percentile,
             )
         return x0 * 0.5 + 0.5  # unnormalize (run_tests.py:131)
+
+    return run_once
+
+
+def predict_conditional_dataset(
+    config, params, unet, sched, loader, rng, n_runs: int = 5, run_once=None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """The reference's most expensive inference path (run_tests.py:121-137):
+    per batch, ``n_runs`` independent full reverse-sampling trajectories of
+    the segmentation conditioned on the image, averaged. Here each run is
+    one jitted lax.scan instead of 1000 Python-level kernel launches. Pass
+    a prebuilt ``run_once`` (make_conditional_sampler) when evaluating
+    several datasets."""
+    if run_once is None:
+        run_once = make_conditional_sampler(config, unet, sched)
 
     y_hats, y_stars = [], []
     for batch in loader:

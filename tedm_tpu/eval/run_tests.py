@@ -56,10 +56,13 @@ def evaluate_experiment(
     if conditional:
         from tedm_tpu.eval.harness import (
             load_diffusion_experiment,
+            make_conditional_sampler,
             predict_conditional_dataset,
         )
 
         config, params, unet, sched = load_diffusion_experiment(exp_dir)
+        # build the jitted sampling scan ONCE for all four datasets
+        run_once = make_conditional_sampler(config, unet, sched)
         task = state = None
     else:
         config, state, task = load_experiment(exp_dir)
@@ -82,7 +85,7 @@ def evaluate_experiment(
         if conditional:
             # 5 full reverse-sampling runs averaged (run_tests.py:121-137).
             y_hat, y_star = predict_conditional_dataset(
-                config, params, unet, sched, loader, sub
+                config, params, unet, sched, loader, sub, run_once=run_once
             )
         else:
             y_hat, y_star = predict_dataset(

@@ -107,24 +107,36 @@ def data_parallel_setup(config, batch_size: int):
     n_dev = _jax.device_count()
     if n_dev <= 1:
         return (lambda x: x), (lambda x: x)
-    if batch_size % n_dev != 0:
-        print(f"[parallel] batch {batch_size} not divisible by {n_dev} devices; "
-              "running replicated (pad batch or adjust --batch_size to shard)")
+    # batch_size is PER-HOST; the global batch is batch_size*process_count,
+    # so even sharding needs the host batch divisible by the host's devices.
+    local_req = max(1, n_dev // _jax.process_count())
+    if batch_size % local_req != 0:
+        print(f"[parallel] host batch {batch_size} not divisible by {local_req} "
+              "local devices; running replicated (adjust --batch_size to shard)")
         return (lambda x: x), (lambda x: x)
     mesh = make_mesh(tuple(config.mesh_shape), tuple(config.mesh_axes))
     b_sh = batch_sharding(mesh)
     r_sh = replicated_sharding(mesh)
 
+    multihost = _jax.process_count() > 1
+
     def shard(tree):
-        # Only arrays with the global batch as leading dim are sharded;
+        # Only arrays with the host batch as leading dim are sharded;
         # everything else (PRNG keys, dummy conds, scalars) replicates.
-        return _jax.tree_util.tree_map(
-            lambda x: _jax.device_put(
-                x, b_sh if getattr(x, "ndim", 0) >= 1 and x.shape[0] == batch_size
-                else r_sh,
-            ),
-            tree,
-        )
+        # Multi-host: each process loads a DIFFERENT batch_size rows (the
+        # loader's per-host shard), so the global array must be assembled
+        # from per-process local data — a plain device_put onto the global
+        # sharding would either error or drop the other hosts' rows.
+        def put(x):
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == batch_size:
+                if multihost:
+                    return _jax.make_array_from_process_local_data(
+                        b_sh, np.asarray(x)
+                    )
+                return _jax.device_put(x, b_sh)
+            return _jax.device_put(x, r_sh)
+
+        return _jax.tree_util.tree_map(put, tree)
 
     def replicate(tree):
         return _jax.device_put(tree, r_sh)
@@ -132,10 +144,3 @@ def data_parallel_setup(config, batch_size: int):
     return shard, replicate
 
 
-def local_batch_slice(global_batch: int, mesh: Mesh, axis: str = "data") -> Tuple[int, int]:
-    """(start, size) of this host's shard of the global batch — the per-host
-    sharded-loading contract for the input pipeline. Hosts own contiguous
-    slices ordered by process index."""
-    idx = jax.process_index()
-    per_host = global_batch // jax.process_count()
-    return idx * per_host, per_host

@@ -80,12 +80,24 @@ def export_sampler(
         unnormalize_to_zero_to_one,
     )
 
-    config, params, unet, sched = load_diffusion_experiment(exp_dir)
-    shape = (batch_size, config.img_size, config.img_size, config.channels)
-    apply_fn = lambda x, t: unet.apply({"params": params}, x, t)
+    from tedm_tpu.trainers.diffusion import mode_channels
 
-    @jax.jit
-    def sample(key):
+    config, params, unet, sched = load_diffusion_experiment(exp_dir)
+    # joint samples 2-channel (img, seg) pairs; conditional modes take the
+    # conditioning image/mask as a second exported argument (channel-concat,
+    # mirroring trainers/diffusion.py apply_fn_of). config.channels alone
+    # would trace the wrong input width for every non-img_only checkpoint.
+    x_ch, _ = mode_channels(config)
+    conditional = config.experiment in ("conditional", "joint_and_cond")
+    shape = (batch_size, config.img_size, config.img_size, x_ch)
+
+    def run(key, cond):
+        if cond is None:
+            apply_fn = lambda x, t: unet.apply({"params": params}, x, t)
+        else:
+            apply_fn = lambda x, t: unet.apply(
+                {"params": params}, jnp.concatenate([x, cond], axis=-1), t
+            )
         if sampler == "ancestral":
             x = sample_loop(apply_fn, sched, key, shape,
                             objective=config.objective)
@@ -100,7 +112,15 @@ def export_sampler(
         return unnormalize_to_zero_to_one(jnp.clip(x, -1.0, 1.0))
 
     key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
-    exp = jexport.export(sample)(key_spec)
+    if conditional:
+        cond_spec = jax.ShapeDtypeStruct(
+            (batch_size, config.img_size, config.img_size, 1), jnp.float32
+        )
+        sample = jax.jit(lambda key, cond: run(key, cond))
+        exp = jexport.export(sample)(key_spec, cond_spec)
+    else:
+        sample = jax.jit(lambda key: run(key, None))
+        exp = jexport.export(sample)(key_spec)
     data = exp.serialize()
     with open(out_path, "wb") as f:
         f.write(data)
@@ -114,8 +134,8 @@ def load_exported(path: str) -> Callable[[np.ndarray], np.ndarray]:
     with open(path, "rb") as f:
         exp = jexport.deserialize(f.read())
 
-    def call(x):
-        return np.asarray(exp.call(x))
+    def call(*args):
+        return np.asarray(exp.call(*args))
 
     return call
 

@@ -63,7 +63,13 @@ def masked_bce_per_image(logits: Array, labels: Array, valid: Array) -> Tuple[Ar
     return per_img, (per_img * valid).sum() / denom
 
 
-def make_train_step(task: SegTask, tx: optax.GradientTransformation):
+def make_train_step(task: SegTask, tx: optax.GradientTransformation,
+                    freeze_mask: Any = None, unfreeze_at: int = 0):
+    """``freeze_mask`` (a 0/1 pytree matching params) zeroes gradients of
+    frozen subtrees until ``step_idx >= unfreeze_at`` — the CL finetune
+    freeze (reference: finetune_glob_cl.py:64-67,139-146) as a traced
+    switch inside the ONE shared compiled step."""
+
     def loss_fn(params, batch_stats, x, y, valid, rng):
         logits, new_bs = task.apply(params, batch_stats, x, rng, True)
         if task.fold > 1:
@@ -73,10 +79,15 @@ def make_train_step(task: SegTask, tx: optax.GradientTransformation):
         return loss, (new_bs, per_img)
 
     @partial(jax.jit, donate_argnums=(0, 2))
-    def step(params, batch_stats, opt_state, x, y, valid, rng):
+    def step(params, batch_stats, opt_state, x, y, valid, rng, step_idx):
         (loss, (new_bs, per_img)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params, batch_stats, x, y, valid, rng)
+        if freeze_mask is not None:
+            unfrozen = step_idx >= unfreeze_at
+            grads = jax.tree_util.tree_map(
+                lambda g, m: g * jnp.where(unfrozen, 1.0, m), grads, freeze_mask
+            )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         # per-fold masked mean loss (TEDM per-timestep logging,
@@ -164,12 +175,14 @@ def train_segmentation(
     logger: MetricsLogger,
     start_step: int = 0,
     extra_ckpt_state: Optional[Dict[str, Any]] = None,
+    freeze_mask: Any = None,
+    unfreeze_at: int = 0,
 ) -> Tuple[Any, Any]:
     """The shared loop. Returns (params, batch_stats) at the end."""
     tx = optax.adamw(config.lr, weight_decay=config.weight_decay) if config.weight_decay else optax.adam(config.lr)
     params, batch_stats = task.params, task.batch_stats
     opt_state = tx.init(params)
-    train_step = make_train_step(task, tx)
+    train_step = make_train_step(task, tx, freeze_mask, unfreeze_at)
     eval_step = make_eval_step(task)  # built ONCE; re-jitting per validation
                                       # would recompile every val_freq steps
 
@@ -226,7 +239,7 @@ def train_segmentation(
                        "valid": batch["valid"]})
             params, batch_stats, opt_state, loss, per_fold = train_step(
                 params, batch_stats, opt_state,
-                b["image"], b["mask"], b["valid"], sub,
+                b["image"], b["mask"], b["valid"], sub, jnp.int32(step),
             )
             if config.profile_dir and step == 15:
                 jax.block_until_ready(loss)
@@ -264,10 +277,14 @@ def train_segmentation(
                     save_checkpoint(f"{config.log_dir}/best", make_state(), config)
                 elif val["val/loss"] > best_val_loss * 1.5 and config.early_stop:
                     return params, batch_stats
-                if config.ckpt_every and step % config.ckpt_every == 0:
-                    save_checkpoint(
-                        f"{config.log_dir}/step_{step}", make_state(), config
-                    )
+
+            # periodic checkpoints on their OWN cadence (a nested check
+            # under val_freq silently skipped every step not divisible by
+            # both frequencies)
+            if config.ckpt_every and step % config.ckpt_every == 0:
+                save_checkpoint(
+                    f"{config.log_dir}/step_{step}", make_state(), config
+                )
 
             if should_stop():
                 # SIGTERM/SIGINT: save a resumable state and exit cleanly

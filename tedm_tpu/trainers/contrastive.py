@@ -101,11 +101,16 @@ def _train_cl(config: Config, model, variables, loss_of, grad_mask=None) -> None
         loss, _ = loss_fn(p, bs, x, rng, False)
         return loss
 
+    # drop_last: a padded final batch would feed all-zero rows into the
+    # contrastive losses as if they were real images (the zero embeddings
+    # act as spurious positives/negatives). The reference's DataLoader just
+    # produced a smaller final batch; with the static-shape contract the
+    # equivalent is to drop it.
     loaders = build_dataloaders(
         "CXR14", config.data_dir, config.img_size, config.batch_size,
         config.num_workers, seed=config.seed,
         shard_index=jax.process_index(), shard_count=jax.process_count(),
-        synthetic=config.synthetic_data,
+        synthetic=config.synthetic_data, drop_last=True,
     )
     logger = MetricsLogger(config.log_dir, config, enabled=not config.debug)
     rng = jax.random.PRNGKey(config.seed)
@@ -308,10 +313,22 @@ def main_finetune(config: Config) -> None:
 
     logger = MetricsLogger(config.log_dir, config, enabled=not config.debug)
     if config.unfreeze_weights_at_step > 0:
-        # Freeze by zeroing gradients through an optax mask until the
-        # unfreeze step (one compiled step; the mask is a traced switch).
-        tx = optax.adam(config.lr)
-        _train_finetune_with_freeze(config, task, tx, frozen, loaders, logger)
+        # Step-gated freeze runs through the SAME shared loop (one compiled
+        # step with a traced unfreeze switch) so resume/ckpt_every/early-
+        # stop/interrupt/DP and the optimizer choice (adamw under
+        # weight_decay — what eval's restore template rebuilds) all behave
+        # identically to every other supervised trainer.
+        freeze_mask = {
+            k: jax.tree_util.tree_map(
+                lambda _: jnp.float32(0.0 if frozen[k] else 1.0), v
+            )
+            for k, v in params.items()
+        }
+        train_segmentation(
+            config, task, loaders, logger,
+            freeze_mask=freeze_mask,
+            unfreeze_at=config.unfreeze_weights_at_step,
+        )
     else:
         train_segmentation(config, task, loaders, logger)
     logger.close()
@@ -342,64 +359,3 @@ class _AugmentedLoader:
             yield from self
 
 
-def _train_finetune_with_freeze(config, task, tx, frozen, loaders, logger):
-    """Supervised loop variant with a step-gated gradient mask."""
-    from tedm_tpu.trainers.common import (
-        make_eval_step,
-        masked_bce_per_image,
-        validate,
-    )
-
-    eval_step = make_eval_step(task)
-
-    params, batch_stats = task.params, task.batch_stats
-    opt_state = tx.init(params)
-
-    def loss_fn(p, x, y, valid, rng):
-        logits, _ = task.apply(p, batch_stats, x, rng, True)
-        _, loss = masked_bce_per_image(logits, y, valid)
-        return loss
-
-    frozen_mask = {
-        k: jax.tree_util.tree_map(
-            lambda _: jnp.float32(0.0 if frozen[k] else 1.0), v
-        )
-        for k, v in params.items()
-    }
-
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(p, opt_state, x, y, valid, rng, step):
-        loss, grads = jax.value_and_grad(loss_fn)(p, x, y, valid, rng)
-        unfrozen = step >= config.unfreeze_weights_at_step
-        grads = jax.tree_util.tree_map(
-            lambda g, m: g * jnp.where(unfrozen, 1.0, m), grads, frozen_mask
-        )
-        updates, opt_state = tx.update(grads, opt_state, p)
-        return optax.apply_updates(p, updates), opt_state, loss
-
-    rng = jax.random.PRNGKey(config.seed)
-    best_val = float("inf")
-    train_losses, step = [], 0
-    for batch in loaders["train"].repeat():
-        step += 1
-        rng, sub = jax.random.split(rng)
-        params, opt_state, loss = train_step(
-            params, opt_state, batch["image"], batch["mask"], batch["valid"],
-            sub, jnp.int32(step),
-        )
-        train_losses.append(loss)  # device scalar: no per-step host sync
-        if step % config.log_freq == 0 or config.debug:
-            logger.log({"train/loss": float(np.mean([float(l) for l in train_losses]))}, step)
-            train_losses = []
-        if step % config.val_freq == 0 or config.debug:
-            rng, vrng = jax.random.split(rng)
-            val = validate(config, task, params, batch_stats, loaders["val"], vrng,
-                           eval_step=eval_step)
-            logger.log(val, step)
-            state = {"params": params, "batch_stats": batch_stats,
-                     "opt_state": opt_state, "step": step}
-            if val["val/loss"] < best_val and not config.debug:
-                best_val = val["val/loss"]
-                save_checkpoint(f"{config.log_dir}/best", state, config)
-        if step >= config.max_steps or config.debug:
-            return

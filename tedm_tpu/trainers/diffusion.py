@@ -291,8 +291,15 @@ def main(config: Config) -> None:
                 if vloss < best_val_loss and not config.debug:
                     best_val_loss = vloss
                     save_checkpoint(f"{config.log_dir}/best", state, config)
-                if config.ckpt_every and step % config.ckpt_every == 0:
-                    save_checkpoint(f"{config.log_dir}/step_{step}", state, config)
+
+            # periodic checkpoints on their OWN cadence, independent of
+            # validation boundaries
+            if config.ckpt_every and step % config.ckpt_every == 0:
+                save_checkpoint(
+                    f"{config.log_dir}/step_{step}",
+                    {"params": params, "opt_state": opt_state, "step": step},
+                    config,
+                )
 
             if should_stop():
                 save_checkpoint(

@@ -128,3 +128,44 @@ def test_build_dataloaders_synthetic_cxr14():
     b = next(iter(dls["train"]))
     assert b["image"].shape == (64, 32, 32, 1)
     assert "mask" not in b
+
+
+def test_shard_lockstep_uneven():
+    """Multi-host SPMD contract: every shard yields the SAME batch size and
+    SAME number of batches per epoch, padding the short shard with
+    valid=0 filler (uneven shards would otherwise desync the mesh)."""
+    ds = SyntheticCXRDataset("train", 25, 16)  # 2 shards: 13 + 12 rows
+    a = Loader(ds, batch_size=16, shard_index=0, shard_count=2)
+    b = Loader(ds, batch_size=16, shard_index=1, shard_count=2)
+    assert a.batch_size == b.batch_size == 13
+    ba, bb = list(a), list(b)
+    assert len(ba) == len(bb) == len(a) == len(b) == 1
+    assert ba[0]["image"].shape == bb[0]["image"].shape
+    assert int(ba[0]["valid"].sum()) == 13 and int(bb[0]["valid"].sum()) == 12
+
+    # smaller batches: shard 0 has 2 batches of 8 (13 rows), shard 1 only
+    # 12 rows -> same count, second batch partially padded
+    a = Loader(ds, batch_size=8, shard_index=0, shard_count=2)
+    b = Loader(ds, batch_size=8, shard_index=1, shard_count=2)
+    ba, bb = list(a), list(b)
+    assert len(ba) == len(bb) == 2
+    assert int(sum(x["valid"].sum() for x in ba)) == 13
+    assert int(sum(x["valid"].sum() for x in bb)) == 12
+
+    # drop_last: both shards emit exactly min_shard // bs full batches
+    a = Loader(ds, batch_size=8, shard_index=0, shard_count=2, drop_last=True)
+    b = Loader(ds, batch_size=8, shard_index=1, shard_count=2, drop_last=True)
+    ba, bb = list(a), list(b)
+    assert len(ba) == len(bb) == 1
+    assert all(int(x["valid"].sum()) == 8 for x in ba + bb)
+
+
+def test_drop_last_no_padded_rows():
+    """CL loaders use drop_last so contrastive losses never see all-zero
+    padding rows as fake images."""
+    ds = SyntheticCXRDataset("train", 10, 16, labelled=False)
+    loader = Loader(ds, batch_size=4, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    for b in batches:
+        assert (b["valid"] == 1.0).all()

@@ -64,3 +64,37 @@ def test_export_sampler_roundtrip(tmp_path):
     imgs = sample(np.asarray(jax.random.PRNGKey(1), np.uint32))
     assert imgs.shape == (2, 16, 16, 1)
     assert np.isfinite(imgs).all() and imgs.min() >= 0 and imgs.max() <= 1
+
+
+def test_export_sampler_joint_and_conditional(tmp_path):
+    """Regression: export_sampler traced config.channels (always 1) so any
+    joint (2-channel) or conditional (cond-concat) checkpoint failed to
+    export. Now mode channels mirror the trainer; conditional exports take
+    the conditioning batch as a second argument."""
+    import jax
+
+    from tedm_tpu.serve.export import export_sampler, load_exported
+
+    train_main([
+        "--experiment", "joint", "--log_dir", str(tmp_path / "j"),
+        "--max_steps", "2", "--val_freq", "2", "--log_freq", "2",
+        "--val_steps", "4", "--n_sampled_imgs", "2",
+    ] + ARGS)
+    out = str(tmp_path / "joint.bin")
+    export_sampler(str(tmp_path / "joint" / "None" / "j"), out,
+                   batch_size=2, sampler="ddim", num_steps=3)
+    imgs = load_exported(out)(np.asarray(jax.random.PRNGKey(1), np.uint32))
+    assert imgs.shape == (2, 16, 16, 2)  # (img, seg) channel pair
+
+    train_main([
+        "--experiment", "conditional", "--log_dir", str(tmp_path / "c"),
+        "--max_steps", "2", "--val_freq", "2", "--log_freq", "2",
+        "--val_steps", "4", "--n_sampled_imgs", "2",
+    ] + ARGS)
+    out = str(tmp_path / "cond.bin")
+    export_sampler(str(tmp_path / "conditional" / "None" / "c"), out,
+                   batch_size=2, sampler="ddim", num_steps=3)
+    cond = np.zeros((2, 16, 16, 1), np.float32)
+    segs = load_exported(out)(np.asarray(jax.random.PRNGKey(1), np.uint32), cond)
+    assert segs.shape == (2, 16, 16, 1)
+    assert np.isfinite(segs).all()

@@ -38,3 +38,27 @@ def test_cl_finetune_checkpoint_evaluates(tmp_path):
 
     config, state, task = load_experiment(run)
     assert "time_proj" in state["params"]["downs_0_0"]
+
+
+def test_finetune_unfreeze_with_weight_decay_restores(tmp_path):
+    """Regression: the step-gated-unfreeze finetune used a forked loop with
+    hardcoded optax.adam, so --weight_decay checkpoints saved adam state but
+    eval rebuilt an adamw template -> restore structure mismatch. Both paths
+    now run through the shared loop."""
+    train_main([
+        "--experiment", "global_cl", "--log_dir", str(tmp_path / "g"),
+        "--max_steps", "2", "--val_freq", "2", "--log_freq", "2",
+    ] + ARGS)
+    gbest = str(tmp_path / "global_cl" / "None" / "g" / "best")
+    train_main([
+        "--experiment", "global_finetune", "--n_labelled_images", "3",
+        "--global_model_path", gbest, "--log_dir", str(tmp_path / "fu"),
+        "--max_steps", "3", "--val_freq", "3", "--log_freq", "3",
+        "--unfreeze_weights_at_step", "2", "--weight_decay", "1e-4",
+    ] + ARGS)
+    run = str(tmp_path / "global_finetune" / "3" / "fu")
+
+    from tedm_tpu.eval.run_tests import evaluate_experiment
+
+    results = evaluate_experiment(run)
+    assert set(results) == {"JSRT_val", "JSRT_test", "NIH", "Montgomery"}

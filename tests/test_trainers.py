@@ -55,3 +55,21 @@ def test_ledm_debug_fresh_backbone(tmp_path):
 def test_unknown_experiment_raises(tmp_path):
     with pytest.raises(SystemExit):
         train_main(["--experiment", "nope"])
+
+
+def test_ckpt_every_independent_of_val_freq(tmp_path):
+    """Regression: periodic checkpoints were nested under the val_freq
+    check, silently skipping any ckpt_every not aligned with validation."""
+    import os
+
+    from tedm_tpu.train import main as train_main
+
+    train_main([
+        "--experiment", "baseline", "--n_labelled_images", "3",
+        "--log_dir", str(tmp_path / "b"), "--max_steps", "6",
+        "--val_freq", "4", "--log_freq", "4", "--ckpt_every", "3",
+    ] + ARGS)
+    run = tmp_path / "baseline" / "3" / "b"
+    # steps 3 and 6 are NOT validation boundaries (val at 4) but must save
+    assert os.path.isdir(run / "step_3" / "state")
+    assert os.path.isdir(run / "step_6" / "state")
