@@ -147,11 +147,18 @@ def group_norm_film_silu_reference(
 
 def _reference(x: Array, gamma: Array, beta: Array, scale: Array,
                shift: Array, groups: int, eps: float) -> Array:
-    """jnp reference: identical math, NHWC, biased variance, fp32 stats."""
+    """jnp reference: identical math, NHWC, biased variance, fp32 stats.
+
+    Variance via E[x²]−μ² (NOT the centered two-pass form): XLA fuses the
+    sum and sum-of-squares into ONE stats traversal, while a centered
+    variance needs the mean first and re-reads the tensor — measured 4.5%
+    slower on the whole UNet forward (796 → 760 steps/s). Same formula as
+    the Pallas kernel."""
     bsz, h, w, c = x.shape
     xf = x.astype(jnp.float32).reshape(bsz, h * w, groups, c // groups)
     mean = xf.mean(axis=(1, 3), keepdims=True)
-    var = ((xf - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+    ex2 = (xf * xf).mean(axis=(1, 3), keepdims=True)
+    var = jnp.maximum(ex2 - mean * mean, 0.0)
     xhat = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(bsz, h, w, c)
     gn = xhat * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
     f = gn * (scale[:, None, None, :] + 1.0) + shift[:, None, None, :]
@@ -165,8 +172,8 @@ def _bwd_jnp(groups, eps, res, g) -> Tuple[Array, Array, Array, Array, Array]:
     cg = c // groups
     xf = x.astype(jnp.float32).reshape(bsz, n, groups, cg)
     mean = xf.mean(axis=(1, 3), keepdims=True)
-    var = ((xf - mean) ** 2).mean(axis=(1, 3), keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
+    ex2 = (xf * xf).mean(axis=(1, 3), keepdims=True)
+    rstd = jax.lax.rsqrt(jnp.maximum(ex2 - mean * mean, 0.0) + eps)
     xhat = ((xf - mean) * rstd).reshape(bsz, n, c)
 
     gammaf = gamma.astype(jnp.float32)
