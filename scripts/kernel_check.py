@@ -1,0 +1,148 @@
+"""On-chip compiled-kernel parity gate (VERDICT r1 next #7).
+
+CI exercises the Pallas kernels only through the interpreter / jnp paths
+(CPU); the COMPILED Mosaic kernels run nowhere automatically, so a Mosaic
+or layout regression would ship silently. This script runs each compiled
+kernel on the real TPU against its jnp reference on identical inputs
+(fwd AND VJP where the kernel defines one) and writes a KERNELS.json
+verdict. Run it before each BENCH:
+
+    python scripts/kernel_check.py [--out KERNELS.json]
+
+Serialized with other TPU jobs (only one process can hold the axon chip).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _maxabs(a, b):
+    return float(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=str, default="KERNELS.json")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    report = {"backend": backend, "time": time.strftime("%Y-%m-%d %H:%M:%S"),
+              "kernels": {}, "ok": True}
+    if backend != "tpu":
+        report["ok"] = False
+        report["error"] = f"not on TPU (backend={backend}); compiled kernels not exercised"
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(report, indent=2))
+        sys.exit(1)
+
+    rng = jax.random.PRNGKey(args.seed)
+    tol_fwd, tol_vjp = 2e-5, 2e-4  # fp32 accumulation on both sides
+
+    def record(name, fwd_err, vjp_err=None, extra=None):
+        entry = {"fwd_max_abs_err": fwd_err, "tol_fwd": tol_fwd}
+        ok = fwd_err <= tol_fwd
+        if vjp_err is not None:
+            entry["vjp_max_abs_err"] = vjp_err
+            entry["tol_vjp"] = tol_vjp
+            ok = ok and vjp_err <= tol_vjp
+        if extra:
+            entry.update(extra)
+        entry["ok"] = ok
+        report["kernels"][name] = entry
+        report["ok"] = report["ok"] and ok
+        print(f"{name}: fwd {fwd_err:.2e}" +
+              (f", vjp {vjp_err:.2e}" if vjp_err is not None else "") +
+              ("  OK" if ok else "  FAIL"))
+
+    # ---- linear attention (default-on in the UNet), fwd + VJP ----------
+    from tedm_tpu.ops.pallas.linear_attention import (
+        linear_attention, linear_attention_reference,
+    )
+
+    for (b, h, d, n) in [(2, 4, 32, 1024), (2, 4, 32, 4096)]:
+        k1, k2, k3, k4, rng = jax.random.split(rng, 5)
+        q = jax.random.normal(k1, (b, h, d, n), jnp.float32)
+        k_ = jax.random.normal(k2, (b, h, d, n), jnp.float32)
+        v = jax.random.normal(k3, (b, h, d, n), jnp.float32)
+        g = jax.random.normal(k4, (b, h, d, n), jnp.float32)
+        scale = float(d) ** -0.5
+
+        fk = jax.jit(lambda q, k, v: linear_attention(q, k, v, scale, interpret=False))
+        fr = jax.jit(lambda q, k, v: linear_attention_reference(q, k, v, scale))
+        ok_ = fk(q, k_, v)
+        or_ = fr(q, k_, v)
+        fwd_err = _maxabs(ok_, or_)
+
+        vjk = jax.jit(lambda q, k, v, g: jax.vjp(
+            lambda *a: linear_attention(*a, scale, interpret=False), q, k, v)[1](g))
+        vjr = jax.jit(lambda q, k, v, g: jax.vjp(
+            lambda *a: linear_attention_reference(*a, scale), q, k, v)[1](g))
+        gk = vjk(q, k_, v, g)
+        gr = vjr(q, k_, v, g)
+        vjp_err = max(_maxabs(a, b) for a, b in zip(gk, gr))
+        record(f"linear_attention[N={n}]", fwd_err, vjp_err)
+
+    # ---- flash cosine attention (opt-in mid-stage kernel) --------------
+    from tedm_tpu.ops.pallas.flash_attention import (
+        cosine_attention_reference, flash_cosine_attention,
+    )
+
+    for (b, h, n, d) in [(2, 4, 256, 32), (1, 4, 1024, 32)]:
+        k1, k2, k3, rng = jax.random.split(rng, 4)
+        q = jax.random.normal(k1, (b, h, n, d), jnp.float32)
+        k_ = jax.random.normal(k2, (b, h, n, d), jnp.float32)
+        v = jax.random.normal(k3, (b, h, n, d), jnp.float32)
+        fk = jax.jit(lambda q, k, v: flash_cosine_attention(q, k, v, 16.0, interpret=False))
+        fr = jax.jit(lambda q, k, v: cosine_attention_reference(
+            q.reshape(b * h, n, d), k.reshape(b * h, n, d), v.reshape(b * h, n, d), 16.0
+        ).reshape(b, h, n, d))
+        fwd_err = _maxabs(fk(q, k_, v), fr(q, k_, v))
+        record(f"flash_cosine_attention[N={n}]", fwd_err)
+
+    # ---- fused GroupNorm+FiLM+SiLU (opt-in), fwd + VJP -----------------
+    from tedm_tpu.ops.pallas.groupnorm import (
+        fused_group_norm_film_silu, group_norm_film_silu_reference,
+    )
+
+    for (b, hh, ww, c) in [(4, 32, 32, 128), (2, 16, 16, 512)]:
+        k1, k2, k3, k4, k5, k6, rng = jax.random.split(rng, 7)
+        x = jax.random.normal(k1, (b, hh, ww, c), jnp.float32)
+        gamma = jax.random.normal(k2, (c,), jnp.float32)
+        beta = jax.random.normal(k3, (c,), jnp.float32)
+        scale = jax.random.normal(k4, (b, c), jnp.float32) * 0.1
+        shift = jax.random.normal(k5, (b, c), jnp.float32) * 0.1
+        g = jax.random.normal(k6, (b, hh, ww, c), jnp.float32)
+
+        fk = jax.jit(lambda *a: fused_group_norm_film_silu(*a, interpret=False))
+        fr = jax.jit(group_norm_film_silu_reference)
+        fwd_err = _maxabs(fk(x, gamma, beta, scale, shift),
+                          fr(x, gamma, beta, scale, shift))
+        vjk = jax.jit(lambda x, ga, be, s, sh, g: jax.vjp(
+            lambda *a: fused_group_norm_film_silu(*a, interpret=False),
+            x, ga, be, s, sh)[1](g))
+        vjr = jax.jit(lambda x, ga, be, s, sh, g: jax.vjp(
+            group_norm_film_silu_reference, x, ga, be, s, sh)[1](g))
+        vjp_err = max(_maxabs(a, b) for a, b in
+                      zip(vjk(x, gamma, beta, scale, shift, g),
+                          vjr(x, gamma, beta, scale, shift, g)))
+        record(f"fused_groupnorm[{hh}x{ww}x{c}]", fwd_err, vjp_err)
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {args.out}: {'OK' if report['ok'] else 'FAIL'}")
+    sys.exit(0 if report["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()

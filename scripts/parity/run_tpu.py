@@ -1,0 +1,135 @@
+"""Run the tedm_tpu chain on the exported parity corpus (same pixels the
+torch reference trains on — see export_data.py / run_reference.py) and
+record Dice for the head-to-head.
+
+Chain: img_only backbone -> baseline + TEDM at n in --sizes -> run_tests /
+testing_shared_weights eval over JSRT_val/JSRT_test/NIH/Montgomery.
+Everything goes through the stock CLI (tedm_tpu.train) and eval harnesses;
+the only parity-specific wiring is --data_dir/--splits_dir pointing at the
+export.
+
+    python scripts/parity/run_tpu.py --root /tmp/tedm_parity \
+        --out /tmp/tedm_parity/tpu_logs --img_size 64 \
+        --backbone_steps 800 --head_steps 300 --sizes 1 3 [--platform cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def summarize(outputs: dict) -> dict:
+    import numpy as np
+
+    res = {}
+    for key, out in outputs.items():
+        d = np.asarray(out["dice"]).squeeze()
+        p = np.asarray(out["precision"]).squeeze()
+        r = np.asarray(out["recall"]).squeeze()
+        res[key] = {
+            "dice_mean": float(np.nanmean(d)),
+            "dice_std": float(np.nanstd(d[~np.isnan(d)])),
+            "precision_mean": float(np.nanmean(p)),
+            "recall_mean": float(np.nanmean(r)),
+            "n": int(d.shape[0]),
+        }
+    return res
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", type=str, default="/tmp/tedm_parity")
+    ap.add_argument("--out", type=str, default="/tmp/tedm_parity/tpu_logs")
+    ap.add_argument("--img_size", type=int, default=64)
+    ap.add_argument("--backbone_steps", type=int, default=800)
+    ap.add_argument("--head_steps", type=int, default=300)
+    ap.add_argument("--sizes", nargs="+", type=int, default=[1, 3])
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force a jax platform (e.g. cpu) before first use")
+    ap.add_argument("--skip_backbone", action="store_true")
+    ap.add_argument("--skip_baseline", action="store_true")
+    ap.add_argument("--backbone_dir", type=str, default=None,
+                    help="use this backbone checkpoint dir (e.g. the
+                    torch-ported one from port_backbone.py)")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from tedm_tpu.train import main as train_main
+    from tedm_tpu.eval.run_tests import evaluate_experiment
+    from tedm_tpu.eval.testing_shared_weights import evaluate_shared_weights
+
+    os.makedirs(args.out, exist_ok=True)
+    common = [
+        "--data_dir", "", "--splits_dir", os.path.join(args.root, "data"),
+        "--img_size", str(args.img_size), "--batch_size", str(args.batch_size),
+        "--seed", str(args.seed), "--num_workers", "2",
+    ]
+    nih = os.path.join(args.root, "NIH")
+    mon = os.path.join(args.root, "Montgomery")
+
+    backbone = args.backbone_dir or os.path.join(args.out, "CXR14", "run")
+    if not args.skip_backbone and not os.path.isdir(os.path.join(backbone, "best")):
+        print("=== tedm_tpu backbone (img_only) ===")
+        train_main([
+            "--experiment", "img_only",
+            "--log_dir", os.path.join(args.out, "run"),
+            "--max_steps", str(args.backbone_steps),
+            "--log_freq", "100",
+            "--val_freq", str(max(args.backbone_steps // 2, 1)),
+            "--max_val_steps", "4", "--n_sampled_imgs", "2",
+        ] + [a if a else os.path.join(args.root, "CXR14") for a in common])
+
+    summary = {"img_size": args.img_size, "backbone_steps": args.backbone_steps,
+               "head_steps": args.head_steps, "framework": "tedm_tpu",
+               "experiments": {}}
+    jsrt_common = [a if a else os.path.join(args.root, "JSRT") for a in common]
+
+    for n in ([] if args.skip_baseline else args.sizes):
+        print(f"=== tedm_tpu baseline n={n} ===")
+        run = os.path.join(args.out, "baseline", str(n), "run")
+        train_main([
+            "--experiment", "baseline", "--n_labelled_images", str(n),
+            "--log_dir", os.path.join(args.out, f"b{n}"),
+            "--max_steps", str(args.head_steps),
+            "--log_freq", "50", "--val_freq", str(min(50, args.head_steps)),
+        ] + jsrt_common)
+        exp_dir = os.path.join(args.out, "baseline", str(n), f"b{n}")
+        outputs = evaluate_experiment(exp_dir, nih_path=nih, mon_path=mon)
+        summary["experiments"][f"baseline/{n}"] = summarize(outputs)
+        with open(os.path.join(args.out, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+
+    for n in args.sizes:
+        print(f"=== tedm_tpu TEDM n={n} ===")
+        train_main([
+            "--experiment", "TEDM", "--n_labelled_images", str(n),
+            "--log_dir", os.path.join(args.out, f"t{n}"),
+            "--max_steps", str(args.head_steps),
+            "--log_freq", "50", "--val_freq", str(min(50, args.head_steps)),
+            "--saved_diffusion_model",
+            backbone if os.path.isdir(os.path.join(backbone, "state"))
+            else os.path.join(backbone, "best"),
+        ] + jsrt_common)
+        exp_dir = os.path.join(args.out, "TEDM", str(n), f"t{n}")
+        results = evaluate_shared_weights(exp_dir, nih_path=nih, mon_path=mon)
+        summary["experiments"][f"TEDM/{n}"] = summarize(results)
+        with open(os.path.join(args.out, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+
+    print(json.dumps(summary, indent=2))
+    print(f"wrote {os.path.join(args.out, 'summary.json')}")
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,10 @@ class Config:
     # Data
     img_size: int = 128
     data_dir: Optional[str] = None
+    splits_dir: Optional[str] = None  # dir holding the split CSVs; None = the
+                                      # verbatim reference CSVs shipped in
+                                      # tedm_tpu/data/splits (reference reads
+                                      # PROJECT_DIR/data, dataloaders/JSRT.py:29)
     num_workers: int = 4            # prefetch threads in the input pipeline
 
     # Model
@@ -140,6 +144,9 @@ class Config:
     attn_layout: str = "heads_major"      # linear-attention einsum layout
                                           # ('heads_major' | 'nhwc'; measured equal on v5e)
     synthetic_data: bool = False          # deterministic synthetic CXR data (no image files needed)
+    data_backend: str = "threads"         # input pipeline: 'threads' | 'grain'
+                                          # (same batch contract; grain adds
+                                          # checkpointable deterministic iterators)
     profile_dir: Optional[str] = None     # jax.profiler trace output (steps ~10-15)
     multihost: bool = False               # call jax.distributed.initialize() at startup
     remat: bool = False                   # rematerialize the UNet fwd in backward
@@ -270,6 +277,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset", type=str, default=defaults.dataset, choices=list(DATASETS))
     p.add_argument("--img_size", type=int, default=defaults.img_size)
     p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--splits_dir", type=str, default=None,
+                   help="dir with the split CSVs (default: bundled reference CSVs)")
     p.add_argument("--num_workers", type=int, default=defaults.num_workers)
     p.add_argument("--dim", type=int, default=defaults.dim)
     p.add_argument("--dim_mults", nargs="+", type=int, default=list(defaults.dim_mults))
@@ -317,6 +326,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["heads_major", "nhwc"],
                    help="linear-attention einsum layout (measured equal on v5e)")
     p.add_argument("--synthetic_data", action="store_true")
+    p.add_argument("--data_backend", type=str, default=defaults.data_backend,
+                   choices=["threads", "grain"],
+                   help="input pipeline backend (same batch contract)")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--multihost", action="store_true",
                    help="multi-host: jax.distributed.initialize() at startup")

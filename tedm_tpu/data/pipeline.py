@@ -60,6 +60,21 @@ class Loader:
         min_shard = n // shard_count
         self.batch_size = min(batch_size, max(1, max_shard))
         if drop_last:
+            if min_shard == 0:
+                raise ValueError(
+                    f"drop_last=True with {n} items over {shard_count} shards "
+                    "leaves some host with an empty shard: every epoch would "
+                    "yield zero batches and repeat() would spin forever."
+                )
+            if min_shard < self.batch_size:
+                # Clamp rather than hang: batch_size > the smallest shard
+                # would drop every batch (repeat() busy-loops on 0-batch
+                # epochs). Shard-invariant, so every host clamps identically.
+                print(
+                    f"[pipeline] drop_last: clamping batch_size "
+                    f"{self.batch_size} -> {min_shard} (smallest host shard)"
+                )
+                self.batch_size = min_shard
             self._epoch_batches = min_shard // self.batch_size
         else:
             self._epoch_batches = (max_shard + self.batch_size - 1) // self.batch_size
@@ -189,6 +204,7 @@ def build_dataloaders(
     synthetic: bool = False,
     backend: str = "threads",
     drop_last: bool = False,
+    splits_dir: Optional[str] = None,
 ) -> Dict[str, Loader]:
     """The reference's per-dataset ``build_dataloaders`` surface
     (dataloaders/JSRT.py:17-46, dataloaders/CXR14.py:21-45) behind one
@@ -197,10 +213,13 @@ def build_dataloaders(
     generator with the same split sizes. ``backend='grain'`` uses the
     grain-based loader (same batch contract)."""
     from tedm_tpu.data.datasets import (
+        SPLITS_DIR,
         CXR14Dataset,
         JSRTDataset,
         SyntheticCXRDataset,
     )
+
+    sdir = splits_dir or SPLITS_DIR
 
     if backend == "grain":
         from tedm_tpu.data.grain_pipeline import GrainLoader as LoaderCls
@@ -228,9 +247,9 @@ def build_dataloaders(
             val = SyntheticCXRDataset("val", 25, img_size, labelled=True, seed=seed)
             test = SyntheticCXRDataset("test", 25, img_size, labelled=True, seed=seed)
         else:
-            train = JSRTDataset(data_dir, "JSRT_train_split.csv", img_size)
-            val = JSRTDataset(data_dir, "JSRT_val_split.csv", img_size)
-            test = JSRTDataset(data_dir, "JSRT_test_split.csv", img_size)
+            train = JSRTDataset(data_dir, "JSRT_train_split.csv", img_size, splits_dir=sdir)
+            val = JSRTDataset(data_dir, "JSRT_val_split.csv", img_size, splits_dir=sdir)
+            test = JSRTDataset(data_dir, "JSRT_test_split.csv", img_size, splits_dir=sdir)
         # Semi-supervised subset = first N rows (reference: JSRT.py:29-31).
         return {
             "train": mk(train, True, True, subset=n_labelled_images),
@@ -243,10 +262,10 @@ def build_dataloaders(
             train = SyntheticCXRDataset("cxr_train", 2048, img_size, labelled=False, seed=seed)
             val = SyntheticCXRDataset("cxr_train", 2048, img_size, labelled=False, seed=seed)
         else:
-            train = CXR14Dataset(data_dir, "train_split.csv", img_size)
+            train = CXR14Dataset(data_dir, "train_split.csv", img_size, splits_dir=sdir)
             # Parity quirk: the reference points val/test at train_split.csv
             # too (dataloaders/CXR14.py:30-32).
-            val = CXR14Dataset(data_dir, "train_split.csv", img_size)
+            val = CXR14Dataset(data_dir, "train_split.csv", img_size, splits_dir=sdir)
         return {
             "train": mk(train, True, True),
             "val": mk(val, False, False),

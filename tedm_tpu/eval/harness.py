@@ -71,8 +71,11 @@ def build_eval_task(config: Config):
     if exp in ("PDDM", "simple_datasetDM"):
         from tedm_tpu.trainers.per_step import build_task as build_probe
 
-        loaders = build_jsrt_loaders(config)
-        return build_probe(config, rng, loaders)
+        # compute_stats=False: the checkpoint restore that follows this call
+        # overwrites the feature moments anyway; re-running the full-dataset
+        # pre-pass here (the old behavior) cost one frozen-backbone forward
+        # per train image at every eval/serve load.
+        return build_probe(config, rng, compute_stats=False)
     raise ValueError(f"Experiment {exp} not recognized")
 
 
@@ -81,6 +84,7 @@ def build_jsrt_loaders(config: Config) -> Dict[str, Loader]:
         "JSRT", config.data_dir, config.img_size, config.batch_size,
         config.num_workers, config.n_labelled_images, seed=config.seed,
         synthetic=config.synthetic_data,
+        splits_dir=getattr(config, "splits_dir", None),
     )
 
 
@@ -96,19 +100,23 @@ def build_test_loaders(
     jsrt = build_jsrt_loaders(config)
     mk = lambda ds: Loader(ds, config.batch_size, num_workers=config.num_workers)
     out = {"JSRT_val": jsrt["val"], "JSRT_test": jsrt["test"]}
+    sdir = getattr(config, "splits_dir", None)
     if config.synthetic_data or nih_path is None:
         out["NIH"] = mk(SyntheticCXRDataset("nih", 100, config.img_size, seed=config.seed))
     else:
-        out["NIH"] = mk(NIHDataset(nih_path, img_size=config.img_size))
+        nih_kw = {"splits_dir": sdir} if sdir else {}
+        out["NIH"] = mk(NIHDataset(nih_path, img_size=config.img_size, **nih_kw))
     if config.synthetic_data or mon_path is None:
         out["Montgomery"] = mk(
             SyntheticCXRDataset("montgomery", 100, config.img_size, seed=config.seed)
         )
     else:
         # Montgomery's CSV ships with the data itself (reference MONPATH
-        # doubles as csv_path, run_tests.py:88-90).
+        # doubles as csv_path, run_tests.py:88-90) unless a splits_dir
+        # overrides it (custom corpora, e.g. the parity export).
         out["Montgomery"] = mk(
-            MonDataset(mon_path, mon_csv, img_size=config.img_size, splits_dir=mon_path)
+            MonDataset(mon_path, mon_csv, img_size=config.img_size,
+                       splits_dir=sdir or mon_path)
         )
     return out
 

@@ -26,7 +26,11 @@ def _linear_betas_f64(
     timesteps: int, start: float = 1e-4, end: float = 0.02
 ) -> np.ndarray:
     scale = 1000.0 / timesteps
-    return np.linspace(scale * start, scale * end, timesteps, dtype=np.float64)
+    betas = np.linspace(scale * start, scale * end, timesteps, dtype=np.float64)
+    # Degenerate-T guard: the 1000/T scaling pushes beta past 1 for T < 50,
+    # which makes alphas negative and every derived sqrt NaN. A no-op at the
+    # reference T=1000 (max beta 0.02); clipping mirrors the cosine schedule.
+    return np.clip(betas, 0.0, 0.999)
 
 
 def linear_beta_schedule(timesteps: int, start: float = 1e-4, end: float = 0.02) -> Array:

@@ -121,9 +121,86 @@ def comparison_grid(
     print(f"wrote {out_path}")
 
 
+def _contour(mask: np.ndarray) -> np.ndarray:
+    """One-pixel outer boundary of a binary mask (the serve demo's
+    boundary-marking trick, reference app.py:97-110)."""
+    from scipy import ndimage
+
+    m = mask.astype(bool)
+    return ndimage.binary_dilation(m) & ~m
+
+
+def _load_inputs(exp_dir: str, dataset: str, n: int) -> np.ndarray:
+    """Input images for a figure, reloaded through the experiment's own
+    config + loaders (the eval npz stores predictions/GT only; the
+    reference figure script likewise re-instantiates the datasets,
+    visualisations.py:37-43)."""
+    from tedm_tpu.config import Config
+    from tedm_tpu.eval.harness import build_test_loaders
+
+    cfg = Config.load(os.path.join(exp_dir, "config.txt"))
+    loaders = build_test_loaders(cfg)
+    imgs: List[np.ndarray] = []
+    for b in loaders[dataset]:
+        keep = b["valid"] > 0
+        imgs.extend(b["image"][keep])
+        if len(imgs) >= n:
+            break
+    return np.stack(imgs[:n])
+
+
+def boundary_overlay_grid(
+    exp_dirs: dict, out_path: str, dataset: str = "JSRT_test", n: int = 5
+) -> None:
+    """The paper's qualitative comparison with the input image as underlay:
+    one row per test image; first column = image with the ground-truth
+    boundary (green); one column per method = image with that method's
+    predicted boundary (red) over the faint GT boundary, captioned with its
+    Dice (reference: visualisations.py:43-161 image/GT/prediction panels +
+    app.py:97-110 boundary overlay, combined into the stronger artifact)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    loaded = {}
+    for name, d in exp_dirs.items():
+        with np.load(os.path.join(d, f"{dataset}_predictions.npz")) as z:
+            loaded[name] = {k: z[k] for k in ("y_hat", "y_star", "dice")}
+    first_dir = next(iter(exp_dirs.values()))
+    first = next(iter(loaded.values()))
+    n = min(n, len(first["y_star"]))
+    imgs = _load_inputs(first_dir, dataset, n)
+
+    cols = 1 + len(loaded)
+    fig, axes = plt.subplots(n, cols, figsize=(2.4 * cols, 2.4 * n), squeeze=False)
+    for i in range(n):
+        base = imgs[i, ..., 0]
+        gt = first["y_star"][i, ..., 0] > 0.5
+        rgb = np.stack([base, base, base], axis=-1)
+        rgb[_contour(gt)] = (0.0, 1.0, 0.0)
+        axes[i][0].imshow(np.clip(rgb, 0, 1))
+        axes[i][0].set_title("image + GT" if i == 0 else "", fontsize=9)
+        for j, (name, out) in enumerate(loaded.items(), start=1):
+            pred = out["y_hat"][i, ..., 0] > 0.5
+            rgb = np.stack([base, base, base], axis=-1)
+            rgb[_contour(gt)] = (0.35, 0.75, 0.35)  # faint GT reference
+            rgb[_contour(pred)] = (1.0, 0.0, 0.0)
+            axes[i][j].imshow(np.clip(rgb, 0, 1))
+            axes[i][j].set_title(name if i == 0 else "", fontsize=9)
+            axes[i][j].set_xlabel(
+                f"dice {float(np.nanmean(out['dice'][i])):.2f}", fontsize=8
+            )
+        for ax in axes[i]:
+            ax.set_xticks([]); ax.set_yticks([])
+    fig.tight_layout()
+    fig.savefig(out_path)
+    print(f"wrote {out_path}")
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("kind", choices=["boxplot", "grid", "compare"])
+    parser.add_argument("kind", choices=["boxplot", "grid", "compare", "overlay"])
     parser.add_argument("--experiment", "-e", type=str,
                         help="experiment dir (boxplot/grid)")
     parser.add_argument("--experiments", nargs="+", default=[],
@@ -135,12 +212,15 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     if args.kind in ("boxplot", "grid") and not args.experiment:
         parser.error(f"{args.kind} requires --experiment")
-    if args.kind == "compare" and not args.experiments:
-        parser.error("compare requires --experiments NAME=DIR [NAME=DIR ...]")
+    if args.kind in ("compare", "overlay") and not args.experiments:
+        parser.error(f"{args.kind} requires --experiments NAME=DIR [NAME=DIR ...]")
     if args.kind == "boxplot":
         per_timestep_boxplot(args.experiment, args.out, args.dataset, args.metrics)
     elif args.kind == "grid":
         qualitative_grid(args.experiment, args.out, args.dataset, args.n)
+    elif args.kind == "overlay":
+        pairs = dict(p.split("=", 1) for p in args.experiments)
+        boundary_overlay_grid(pairs, args.out, args.dataset, args.n)
     else:
         pairs = dict(p.split("=", 1) for p in args.experiments)
         comparison_grid(pairs, args.out, args.dataset, args.n)

@@ -44,9 +44,21 @@ def dispatch(config: Config) -> None:
     if config.experiment not in mains:
         raise ValueError(f"unknown experiment {config.experiment}")
     if config.multihost:
+        import os
+
         import jax
 
-        jax.distributed.initialize()
+        # On TPU pods initialize() auto-detects everything; for manual /
+        # test clusters (e.g. the 2-process CPU-mesh multihost test) the
+        # coordinator is passed via env vars.
+        kw = {}
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            kw = dict(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kw)
         print(f"multihost: process {jax.process_index()}/{jax.process_count()}, "
               f"{jax.device_count()} global devices")
     print(f"Experiment folder: {config.log_dir}")

@@ -61,6 +61,8 @@ def main(config: Config) -> None:
         shard_index=jax.process_index(),
         shard_count=jax.process_count(),
         synthetic=config.synthetic_data,
+        backend=config.data_backend,
+        splits_dir=config.splits_dir,
     )
     print(
         f"Loaded {len(loaders['train'].indices)} training and "

@@ -85,10 +85,18 @@ def make_train_step(task: SegTask, tx: optax.GradientTransformation,
         )(params, batch_stats, x, y, valid, rng)
         if freeze_mask is not None:
             unfrozen = step_idx >= unfreeze_at
-            grads = jax.tree_util.tree_map(
-                lambda g, m: g * jnp.where(unfrozen, 1.0, m), grads, freeze_mask
+            live = jax.tree_util.tree_map(
+                lambda m: jnp.where(unfrozen, 1.0, m), freeze_mask
             )
-        updates, opt_state = tx.update(grads, opt_state, params)
+            grads = jax.tree_util.tree_map(jnp.multiply, grads, live)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            # Mask the UPDATES too: adamw's decoupled weight decay is added
+            # in tx.update regardless of the gradient, so zeroed grads alone
+            # would still shrink "frozen" params by lr*wd per step. The
+            # reference freeze (requires_grad=False) keeps them bit-identical.
+            updates = jax.tree_util.tree_map(jnp.multiply, updates, live)
+        else:
+            updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         # per-fold masked mean loss (TEDM per-timestep logging,
         # reference: train_baseline.py:56-58,70-73); padding rows excluded

@@ -73,7 +73,14 @@ def _grad_mask(params: Any, keep: Callable[[str], bool]) -> Any:
 def _train_cl(config: Config, model, variables, loss_of, grad_mask=None) -> None:
     """Shared CL loop (reference train/validate shape,
     train_global_cl.py:71-137): unlabeled CXR14 batches, two augmented
-    views, feature loss, best-val checkpointing."""
+    views, feature loss, best-val checkpointing.
+
+    Framework-grade like the supervised loop (trainers/common.py): DP over
+    the mesh 'data' axis, ``--resume_path`` warm restart, periodic
+    ``ckpt_every`` checkpoints on their own cadence, and SIGTERM/SIGINT
+    graceful shutdown with a resumable ``interrupted`` checkpoint — all
+    absent in the reference CL trainers (its local_cl/finetune ``load()``
+    even ``raise NotImplementedError``, SURVEY §5)."""
     tx = optax.adam(config.lr)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -111,43 +118,80 @@ def _train_cl(config: Config, model, variables, loss_of, grad_mask=None) -> None
         config.num_workers, seed=config.seed,
         shard_index=jax.process_index(), shard_count=jax.process_count(),
         synthetic=config.synthetic_data, drop_last=True,
+        backend=config.data_backend, splits_dir=config.splits_dir,
     )
     logger = MetricsLogger(config.log_dir, config, enabled=not config.debug)
+
+    step = 0
+    if config.resume_path and checkpoint_exists(config.resume_path):
+        template = {"params": params, "batch_stats": batch_stats,
+                    "opt_state": opt_state, "step": 0}
+        restored, _ = load_checkpoint(config.resume_path, template, config)
+        params = restored["params"]
+        batch_stats = restored["batch_stats"]
+        opt_state = restored["opt_state"]
+        step = int(restored["step"])
+        print(f"Resumed from {config.resume_path} at step {step}")
+
+    from tedm_tpu.parallel import data_parallel_setup
+    from tedm_tpu.utils.interrupt import graceful_shutdown
+
+    shard, replicate = data_parallel_setup(config, loaders["train"].batch_size)
+    params = replicate(params)
+    batch_stats = replicate(batch_stats)
+    opt_state = replicate(opt_state)
+    if grad_mask is not None:
+        grad_mask = replicate(grad_mask)
+
     rng = jax.random.PRNGKey(config.seed)
     best_val = float("inf")
-    train_losses, step = [], 0
+    train_losses = []
     t0 = time.time()
 
-    for batch in loaders["train"].repeat():
-        step += 1
-        rng, sub = jax.random.split(rng)
-        params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, batch["image"], sub
-        )
-        train_losses.append(loss)  # device scalar: no per-step host sync
+    def make_state():
+        return {"params": params, "batch_stats": batch_stats,
+                "opt_state": opt_state, "step": step}
 
-        if step % config.log_freq == 0 or config.debug:
-            logger.log({"train/loss": float(np.mean([float(l) for l in train_losses]))}, step)
-            train_losses = []
+    with graceful_shutdown() as should_stop:
+        for batch in loaders["train"].repeat():
+            step += 1
+            rng, sub = jax.random.split(rng)
+            x = shard({"image": batch["image"]})["image"]
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, x, sub
+            )
+            train_losses.append(loss)  # device scalar: no per-step host sync
 
-        if step % config.val_freq == 0 or config.debug:
-            vloss, n = 0.0, 0
-            for i, vb in enumerate(loaders["val"]):
-                rng, vk = jax.random.split(rng)
-                vloss += float(eval_step(params, batch_stats, vb["image"], vk))
-                n += 1
-                if i + 1 == config.max_val_steps or config.debug:
-                    break
-            vloss /= max(n, 1)
-            logger.log({"val/loss": vloss}, step)
-            state = {"params": params, "batch_stats": batch_stats,
-                     "opt_state": opt_state, "step": step}
-            if vloss < best_val and not config.debug:
-                best_val = vloss
-                save_checkpoint(f"{config.log_dir}/best", state, config)
+            if step % config.log_freq == 0 or config.debug:
+                logger.log({"train/loss": float(np.mean([float(l) for l in train_losses]))}, step)
+                train_losses = []
 
-        if step >= config.max_steps or config.debug:
-            break
+            if step % config.val_freq == 0 or config.debug:
+                vloss, n = 0.0, 0
+                for i, vb in enumerate(loaders["val"]):
+                    rng, vk = jax.random.split(rng)
+                    vx = shard({"image": vb["image"]})["image"]
+                    vloss += float(eval_step(params, batch_stats, vx, vk))
+                    n += 1
+                    if i + 1 == config.max_val_steps or config.debug:
+                        break
+                vloss /= max(n, 1)
+                logger.log({"val/loss": vloss}, step)
+                if vloss < best_val and not config.debug:
+                    best_val = vloss
+                    save_checkpoint(f"{config.log_dir}/best", make_state(), config)
+
+            if config.ckpt_every and step % config.ckpt_every == 0:
+                save_checkpoint(f"{config.log_dir}/step_{step}", make_state(), config)
+
+            if should_stop():
+                save_checkpoint(f"{config.log_dir}/interrupted", make_state(), config)
+                print(f"[interrupt] saved {config.log_dir}/interrupted at "
+                      f"step {step}")
+                break
+
+            if step >= config.max_steps or config.debug:
+                break
     logger.close()
 
 
@@ -305,7 +349,8 @@ def main_finetune(config: Config) -> None:
         "JSRT", config.data_dir, config.img_size, config.batch_size,
         config.num_workers, config.n_labelled_images, seed=config.seed,
         shard_index=jax.process_index(), shard_count=jax.process_count(),
-        synthetic=config.synthetic_data,
+        synthetic=config.synthetic_data, backend=config.data_backend,
+        splits_dir=config.splits_dir,
     )
     if config.augment_at_finetuning:
         loaders = dict(loaders)

@@ -44,10 +44,10 @@ def load_backbone(config: Config, rng) -> Tuple[Unet, Any, Any]:
             dim=old.dim, dim_mults=tuple(old.dim_mults), channels=old.channels,
             dtype=dtype,
             use_pallas=config.use_pallas and jax.default_backend() == "tpu",
-        use_pallas_groupnorm=(
-            config.use_pallas_groupnorm and jax.default_backend() == "tpu"
-        ),
-        attn_layout=config.attn_layout,
+            use_pallas_groupnorm=(
+                config.use_pallas_groupnorm and jax.default_backend() == "tpu"
+            ),
+            attn_layout=config.attn_layout,
         )
         template = unet.init(
             rng,
@@ -144,7 +144,8 @@ def main(config: Config) -> None:
         "JSRT", config.data_dir, config.img_size, config.batch_size,
         config.num_workers, config.n_labelled_images, seed=config.seed,
         shard_index=jax.process_index(), shard_count=jax.process_count(),
-        synthetic=config.synthetic_data,
+        synthetic=config.synthetic_data, backend=config.data_backend,
+        splits_dir=config.splits_dir,
     )
     logger = MetricsLogger(config.log_dir, config, enabled=not config.debug)
     train_segmentation(config, task, loaders, logger)

@@ -229,7 +229,8 @@ def main(config: Config) -> None:
         dataset, config.data_dir, config.img_size, config.batch_size,
         config.num_workers, seed=config.seed,
         shard_index=jax.process_index(), shard_count=jax.process_count(),
-        synthetic=config.synthetic_data,
+        synthetic=config.synthetic_data, backend=config.data_backend,
+        splits_dir=config.splits_dir,
     )
     logger = MetricsLogger(config.log_dir, config, enabled=not config.debug)
     train_step, eval_step, sample_grid = make_steps(config, unet, sched, tx)

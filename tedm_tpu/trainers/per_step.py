@@ -28,7 +28,11 @@ from tedm_tpu.models.segmentation import extract_features
 from tedm_tpu.utils.logging import MetricsLogger
 
 
-def build_task(config: Config, rng, loaders) -> SegTask:
+def build_task(config: Config, rng, loaders=None, compute_stats: bool = True) -> SegTask:
+    """``compute_stats=False`` skips the full-dataset moments pre-pass and
+    leaves the init-value stats placeholders — for checkpoint-restore paths
+    (eval/serve) where the saved stats overwrite them immediately anyway;
+    the pre-pass there wasted one backbone forward per train image."""
     rng_b, rng_c, rng_m = jax.random.split(rng, 3)
     unet, backbone_params, sched = load_backbone(config, rng_b)
     t_steps = tuple(config.t_steps_to_save)
@@ -54,7 +58,7 @@ def build_task(config: Config, rng, loaders) -> SegTask:
     pvars = probe.init(rng_c, features(backbone_params, dummy, jax.random.PRNGKey(0)))
 
     stats = dict(pvars.get("stats", {}))
-    if config.standardize_features:
+    if config.standardize_features and compute_stats:
         # Full-dataset moments pre-pass (reference: datasetDM_per_step.py:
         # 104-113), with padded batch rows masked out of the sums.
         sums_fn = jax.jit(
@@ -94,7 +98,8 @@ def main(config: Config) -> None:
         "JSRT", config.data_dir, config.img_size, config.batch_size,
         config.num_workers, config.n_labelled_images, seed=config.seed,
         shard_index=jax.process_index(), shard_count=jax.process_count(),
-        synthetic=config.synthetic_data,
+        synthetic=config.synthetic_data, backend=config.data_backend,
+        splits_dir=config.splits_dir,
     )
     task = build_task(config, init_rng, loaders)
     logger = MetricsLogger(config.log_dir, config, enabled=not config.debug)

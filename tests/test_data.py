@@ -169,3 +169,27 @@ def test_drop_last_no_padded_rows():
     assert len(batches) == 2
     for b in batches:
         assert (b["valid"] == 1.0).all()
+
+
+def test_drop_last_small_shard_clamps():
+    """batch_size > smallest shard with drop_last clamps (identically on
+    every host) instead of yielding 0-batch epochs that spin repeat()."""
+    ds = SyntheticCXRDataset("train", 10, 16)
+    loader = Loader(ds, batch_size=16, drop_last=True)
+    batches = list(loader)
+    assert loader.batch_size == 10
+    assert len(batches) == 1 and (batches[0]["valid"] == 1.0).all()
+
+    # sharded: min_shard=5 bounds the clamp on BOTH hosts
+    a = Loader(ds, batch_size=16, drop_last=True, shard_index=0, shard_count=2)
+    b = Loader(ds, batch_size=16, drop_last=True, shard_index=1, shard_count=2)
+    assert a.batch_size == b.batch_size == 5
+    assert len(list(a)) == len(list(b)) == 1
+
+
+def test_drop_last_empty_shard_raises():
+    import pytest
+
+    ds = SyntheticCXRDataset("train", 3, 16)
+    with pytest.raises(ValueError, match="empty shard"):
+        Loader(ds, batch_size=4, drop_last=True, shard_index=0, shard_count=4)

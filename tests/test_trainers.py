@@ -73,3 +73,53 @@ def test_ckpt_every_independent_of_val_freq(tmp_path):
     # steps 3 and 6 are NOT validation boundaries (val at 4) but must save
     assert os.path.isdir(run / "step_3" / "state")
     assert os.path.isdir(run / "step_6" / "state")
+
+
+def test_frozen_params_bit_identical_under_adamw():
+    """ADVICE r1 (medium): adamw's decoupled weight decay is applied in
+    tx.update regardless of gradients, so masking grads alone still decays
+    'frozen' params by lr*wd per step. The reference freeze
+    (requires_grad=False) keeps them bit-identical; so must ours."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from tedm_tpu.trainers.common import SegTask, make_train_step
+
+    params = {
+        "frozen_w": jnp.ones((3, 3)) * 0.7,
+        "live_w": jnp.ones((3, 3)) * 0.3,
+    }
+
+    def apply(p, aux, x, rng, train):
+        # logits shaped like a (B,H,W,C) mask problem
+        out = (x * (p["frozen_w"].sum() + p["live_w"].sum()))
+        return out, aux
+
+    task = SegTask(apply=apply, params=params, batch_stats={})
+    tx = optax.adamw(1e-2, weight_decay=0.1)
+    mask = {
+        "frozen_w": jnp.zeros((3, 3)),
+        "live_w": jnp.ones((3, 3)),
+    }
+    step = make_train_step(task, tx, freeze_mask=mask, unfreeze_at=5)
+    opt_state = tx.init(params)
+    # the jitted step donates params; snapshot host copies before stepping
+    frozen0 = np.asarray(params["frozen_w"]).copy()
+    live0 = np.asarray(params["live_w"]).copy()
+    x = jnp.ones((2, 4, 4, 1))
+    y = jnp.zeros((2, 4, 4, 1))
+    valid = jnp.ones((2,))
+    p = params
+    for i in range(1, 4):  # frozen window
+        p, _, opt_state, _, _ = step(
+            p, {}, opt_state, x, y, valid, jax.random.PRNGKey(i), jnp.int32(i)
+        )
+    np.testing.assert_array_equal(np.asarray(p["frozen_w"]), frozen0)
+    assert not np.array_equal(np.asarray(p["live_w"]), live0)
+    # after the unfreeze step the frozen subtree moves too
+    p2, _, opt_state, _, _ = step(
+        p, {}, opt_state, x, y, valid, jax.random.PRNGKey(9), jnp.int32(5)
+    )
+    assert not np.array_equal(np.asarray(p2["frozen_w"]), frozen0)
