@@ -1,0 +1,98 @@
+"""A/B GroupNorm stats formulations on the real chip (VERDICT r1 weak #3).
+
+Round-1 profile: 3.7 ms of a 9.9 ms bf16 batch-8 UNet forward is standalone
+GroupNorm stats reduces. Hypothesis: the (b, hw, g, c/g) reshape + mean
+over (1, 3) reduces over an 8-wide minor axis (c/g = 8 lanes of 128) —
+lane-starved. Variant B does a per-CHANNEL reduce over hw first (full
+lanes, contiguous) and combines the (b, c) sums into (b, g) stats with a
+tiny second reduce. Mathematically identical (same E[x^2]-mu^2 form).
+
+    python scripts/bench_gn_stats.py          # microbench per stage shape
+    python scripts/bench_gn_stats.py --full   # full UNet fwd A/B
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def stats_a(x, groups=8):
+    b, hw, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, hw, groups, c // groups)
+    mean = xf.mean(axis=(1, 3))
+    ex2 = (xf * xf).mean(axis=(1, 3))
+    return mean, ex2
+
+
+def stats_b(x, groups=8):
+    b, hw, c = x.shape
+    xf = x.astype(jnp.float32)
+    s1 = xf.sum(axis=1)            # (b, c): contiguous lane-wide reduce
+    s2 = (xf * xf).sum(axis=1)
+    denom = hw * (c // groups)
+    mean = s1.reshape(b, groups, c // groups).sum(-1) / denom
+    ex2 = s2.reshape(b, groups, c // groups).sum(-1) / denom
+    return mean, ex2
+
+
+def timeit(fn, *args, iters=50):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def micro():
+    shapes = [(8, 128 * 128, 64), (8, 64 * 64, 128), (8, 32 * 32, 256),
+              (8, 16 * 16, 512)]
+    print(f"{'shape':>22} {'A reshape-mean':>15} {'B chan-major':>14}")
+    for shp in shapes:
+        x = jax.random.normal(jax.random.PRNGKey(0), shp, jnp.bfloat16)
+        fa = jax.jit(stats_a)
+        fb = jax.jit(stats_b)
+        ta = timeit(fa, x)
+        tb = timeit(fb, x)
+        print(f"{str(shp):>22} {ta:>13.3f}ms {tb:>12.3f}ms")
+
+
+def full():
+    from tedm_tpu.models.unet import Unet
+
+    unet = Unet(dim=64, dim_mults=(1, 2, 4, 8), channels=1, dtype=jnp.bfloat16,
+                use_pallas=True)
+    x = jnp.zeros((8, 128, 128, 1), jnp.bfloat16)
+    t = jnp.zeros((8,), jnp.int32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        cpu_unet = Unet(dim=64, dim_mults=(1, 2, 4, 8), channels=1,
+                        use_pallas=False)
+        params = cpu_unet.init(jax.random.PRNGKey(0), np.zeros((1, 128, 128, 1), np.float32),
+                               np.zeros((1,), np.int32))["params"]
+    params = jax.device_put(
+        jax.tree_util.tree_map(lambda a: np.asarray(a), params), jax.devices()[0]
+    )
+    fwd = jax.jit(lambda p, x, t: unet.apply({"params": p}, x, t))
+    ms = timeit(fwd, params, x, t, iters=30)
+    print(f"full fwd bf16 batch8: {ms:.3f} ms  ({8 / ms * 1e3:.0f} imgs/s)")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true")
+    args = ap.parse_args()
+    if args.full:
+        full()
+    else:
+        micro()

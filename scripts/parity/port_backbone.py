@@ -22,6 +22,15 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
+class StrPath(str):
+    """Unpickle target: run_reference.py stores config.log_dir as a
+    __main__.StrPath inside the torch checkpoint; this script runs as
+    __main__ too, so redefining it here lets torch.load resolve it."""
+
+    def __truediv__(self, other):
+        return StrPath(os.path.join(str(self), str(other)))
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--torch_ckpt", type=str, required=True)

@@ -56,8 +56,8 @@ def main(argv=None) -> None:
     ap.add_argument("--skip_backbone", action="store_true")
     ap.add_argument("--skip_baseline", action="store_true")
     ap.add_argument("--backbone_dir", type=str, default=None,
-                    help="use this backbone checkpoint dir (e.g. the
-                    torch-ported one from port_backbone.py)")
+                    help="use this backbone checkpoint dir "
+                         "(e.g. the torch-ported one from port_backbone.py)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -88,6 +88,10 @@ def main(argv=None) -> None:
             "--log_freq", "100",
             "--val_freq", str(max(args.backbone_steps // 2, 1)),
             "--max_val_steps", "4", "--n_sampled_imgs", "2",
+            # the val-time sampled grid is visualization only (the torch
+            # side's sample_plot_image is a patched no-op — it crashes as
+            # shipped); DDIM keeps it from dominating the backbone run
+            "--ddim_steps", "25",
         ] + [a if a else os.path.join(args.root, "CXR14") for a in common])
 
     summary = {"img_size": args.img_size, "backbone_steps": args.backbone_steps,

@@ -145,6 +145,8 @@ class Config:
                                           # ('heads_major' | 'nhwc'; measured equal on v5e)
     synthetic_data: bool = False          # deterministic synthetic CXR data (no image files needed)
     data_backend: str = "threads"         # input pipeline: 'threads' | 'grain'
+                                          # | 'device' (synthetic generated
+                                          # on-accelerator; host ships indices)
                                           # (same batch contract; grain adds
                                           # checkpointable deterministic iterators)
     profile_dir: Optional[str] = None     # jax.profiler trace output (steps ~10-15)
@@ -327,7 +329,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="linear-attention einsum layout (measured equal on v5e)")
     p.add_argument("--synthetic_data", action="store_true")
     p.add_argument("--data_backend", type=str, default=defaults.data_backend,
-                   choices=["threads", "grain"],
+                   choices=["threads", "grain", "device"],
                    help="input pipeline backend (same batch contract)")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--multihost", action="store_true",

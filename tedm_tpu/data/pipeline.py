@@ -229,6 +229,36 @@ def build_dataloaders(
         LoaderCls, extra = Loader, {"num_workers": num_workers}
 
     synthetic = synthetic or data_dir is None
+
+    if backend == "device":
+        # Accelerator-side synthetic generation: host ships only index
+        # batches (tedm_tpu/data/device_synthetic.py). Synthetic-only.
+        if not synthetic:
+            raise ValueError("backend='device' requires synthetic data")
+        from tedm_tpu.data.device_synthetic import DeviceSyntheticLoader
+
+        mkd = lambda split, n, labelled, shuffle, shard, subset=None: (
+            DeviceSyntheticLoader(
+                split, n, img_size, batch_size, labelled=labelled, seed=seed,
+                shuffle=shuffle,
+                shard_index=shard_index if shard else 0,
+                shard_count=shard_count if shard else 1,
+                subset=subset, drop_last=drop_last,
+            )
+        )
+        if dataset == "JSRT":
+            return {
+                "train": mkd("train", 197, True, True, True, n_labelled_images),
+                "val": mkd("val", 25, True, False, False),
+                "test": mkd("test", 25, True, False, False),
+            }
+        if dataset == "CXR14":
+            return {
+                "train": mkd("cxr_train", 2048, False, True, True),
+                "val": mkd("cxr_train", 2048, False, False, False),
+                "test": mkd("cxr_train", 2048, False, False, False),
+            }
+        raise ValueError(f"unknown dataset {dataset}")
     mk = lambda ds, shuffle, shard, subset=None: LoaderCls(
         ds,
         batch_size,

@@ -413,7 +413,7 @@ def val_loss(
     far larger device calls. ``valid`` (B,) masks padded batch rows so eval
     keeps static shapes (no per-tail recompiles)."""
     T = sched.num_timesteps
-    step = T // t_steps
+    step = max(T // t_steps, 1)  # t_steps > T (tiny debug configs) → every step
     t_values = jnp.arange(0, T, step)  # (S,)
     S = t_values.shape[0]
     n = x_0.shape[0]

@@ -61,9 +61,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
             acc, m, l = carry
             kb = k_ref[0, :, pl.ds(j * bk, bk)].astype(jnp.float32) / kn
             vb = v_ref[0, :, pl.ds(j * bk, bk)].astype(jnp.float32)
-            # s[a, b] = sum_d q[d, a] k[d, b]
+            # s[a, b] = sum_d q[d, a] k[d, b]. precision=HIGHEST: default MXU
+            # precision truncates the f32 operands to bf16; with scale=16 the
+            # exp() amplifies that into 7e-4 output error vs the true-f32 jnp
+            # reference (caught by scripts/kernel_check.py on-chip).
             s = jax.lax.dot_general(
-                q, kb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                q, kb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (Bq, Bk)
             m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
             p = jnp.exp(s - m_new)                            # (Bq, Bk)
@@ -71,7 +76,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
             l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
             # acc[e, a] = acc[e, a]*alpha[a] + sum_b v[e, b] p[a, b]
             pv = jax.lax.dot_general(
-                vb, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                vb, p, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (d, Bq)
             return acc * alpha.reshape(1, bq) + pv, m_new, l
 
@@ -137,9 +144,14 @@ def cosine_attention_reference(q: Array, k: Array, v: Array, scale: float) -> Ar
 
     qf = l2n(q.astype(jnp.float32)) * scale
     kf = l2n(k.astype(jnp.float32))
-    sim = jnp.einsum("bid,bjd->bij", qf, kf)
+    # precision="highest": keep this reference true-f32 on the MXU (default
+    # precision truncates operands to bf16), matching the kernel's dots so
+    # the on-chip gate compares two honest f32 implementations.
+    sim = jnp.einsum("bid,bjd->bij", qf, kf, precision="highest")
     attn = jax.nn.softmax(sim, axis=-1)
-    return jnp.einsum("bij,bjd->bid", attn, v.astype(jnp.float32)).astype(q.dtype)
+    return jnp.einsum(
+        "bij,bjd->bid", attn, v.astype(jnp.float32), precision="highest"
+    ).astype(q.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -63,11 +63,18 @@ def _gn_kernel(x_ref, gamma_ref, beta_ref, s_ref, sh_ref, o_ref, *,
     s_sum, q_sum = jax.lax.fori_loop(0, n_tiles, stat_body, (zeros, zeros))
 
     cnt = float(n * (c // groups))
+    # precision=HIGHEST: the default MXU precision TRUNCATES f32 operands to
+    # bf16, which broke the "stats always fp32" contract — the on-chip gate
+    # (scripts/kernel_check.py) measured 6e-3 max-abs error vs the jnp
+    # reference until these two (1,C)@(C,C) dots (cost: negligible) ran at
+    # full f32.
     mean = jax.lax.dot_general(  # (1, C): per-channel copy of its group mean
-        s_sum, m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        s_sum, m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) / cnt
     ex2 = jax.lax.dot_general(
-        q_sum, m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        q_sum, m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) / cnt
     rstd = jax.lax.rsqrt(jnp.maximum(ex2 - mean * mean, 0.0) + eps)
 

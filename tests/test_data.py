@@ -193,3 +193,33 @@ def test_drop_last_empty_shard_raises():
     ds = SyntheticCXRDataset("train", 3, 16)
     with pytest.raises(ValueError, match="empty shard"):
         Loader(ds, batch_size=4, drop_last=True, shard_index=0, shard_count=4)
+
+
+def test_device_synthetic_loader_contract():
+    """backend='device': same Loader contract (static shapes, valid mask,
+    lockstep count, determinism) with batches rendered on-accelerator."""
+    dls = build_dataloaders("JSRT", None, img_size=16, batch_size=4,
+                            n_labelled_images=3, backend="device", seed=1)
+    b = next(iter(dls["train"]))
+    assert b["image"].shape == (3, 16, 16, 1)
+    assert b["mask"].shape == (3, 16, 16, 1)
+    assert float(b["image"].min()) >= 0.0 and float(b["image"].max()) <= 1.0
+    assert set(np.unique(np.asarray(b["mask"]))) <= {0.0, 1.0}
+    # deterministic given (split, seed, index)
+    dls2 = build_dataloaders("JSRT", None, img_size=16, batch_size=4,
+                             n_labelled_images=3, backend="device", seed=1)
+    b2 = next(iter(dls2["train"]))
+    np.testing.assert_array_equal(np.asarray(b["image"]), np.asarray(b2["image"]))
+    # val split differs from train split
+    v = next(iter(dls["val"]))
+    assert not np.array_equal(np.asarray(v["image"][:3]), np.asarray(b["image"]))
+    assert sum(int(x["valid"].sum()) for x in dls["val"]) == 25
+
+    # lockstep contract on uneven shards
+    from tedm_tpu.data.device_synthetic import DeviceSyntheticLoader
+    a = DeviceSyntheticLoader("train", 25, 16, 8, shard_index=0, shard_count=2)
+    c = DeviceSyntheticLoader("train", 25, 16, 8, shard_index=1, shard_count=2)
+    la, lc = list(a), list(c)
+    assert len(la) == len(lc) == 2
+    assert int(sum(x["valid"].sum() for x in la)) == 13
+    assert int(sum(x["valid"].sum() for x in lc)) == 12
