@@ -141,6 +141,57 @@ def main(argv=None) -> None:
                           vjr(x, gamma, beta, scale, shift, g)))
         record(f"fused_groupnorm[{hh}x{ww}x{c}]", fwd_err, vjp_err)
 
+    # ---- fused PreNorm linear-attention block (default-on), fwd + VJP --
+    from tedm_tpu.ops.pallas.attn_block import (
+        prenorm_linear_attention, prenorm_linear_attention_reference,
+    )
+
+    # fp32 at the two smaller stages (fp32 slabs at N=16k exceed VMEM — the
+    # UNet gates the fused kernel to bf16 on TPU for exactly that reason);
+    # bf16 at the production 128² stage with compute-dtype tolerance.
+    for (b, n, c, dt, tf) in [
+        (2, 4096, 128, jnp.float32, tol_fwd),
+        (2, 1024, 256, jnp.float32, tol_fwd),
+        (2, 16384, 64, jnp.bfloat16, 5e-2),
+    ]:
+        ks = jax.random.split(rng, 8)
+        rng = ks[7]
+        x = jax.random.normal(ks[0], (b, n, c), jnp.float32).astype(dt)
+        g_in = 1.0 + 0.1 * jax.random.normal(ks[1], (c,), jnp.float32)
+        w_qkv = jax.random.normal(ks[2], (c, 384), jnp.float32) * c**-0.5
+        w_out = jax.random.normal(ks[3], (128, c), jnp.float32) * 128**-0.5
+        b_out = 0.1 * jax.random.normal(ks[4], (c,), jnp.float32)
+        g_out = 1.0 + 0.1 * jax.random.normal(ks[5], (c,), jnp.float32)
+        g = jax.random.normal(ks[6], (b, n, c), jnp.float32)
+
+        fk = jax.jit(lambda *a: prenorm_linear_attention(*a, interpret=False))
+        fr = jax.jit(prenorm_linear_attention_reference)
+        fwd_err = _maxabs(fk(x, g_in, w_qkv, w_out, b_out, g_out),
+                          fr(x, g_in, w_qkv, w_out, b_out, g_out))
+        entry_ok = fwd_err <= tf
+        if dt == jnp.float32:
+            vjk = jax.jit(lambda x, gi, wq, wo, bo, go, g: jax.vjp(
+                lambda *a: prenorm_linear_attention(*a, interpret=False),
+                x, gi, wq, wo, bo, go)[1](g))
+            vjr = jax.jit(lambda x, gi, wq, wo, bo, go, g: jax.vjp(
+                prenorm_linear_attention_reference, x, gi, wq, wo, bo, go)[1](g))
+            vjp_err = max(_maxabs(a, b) for a, b in
+                          zip(vjk(x, g_in, w_qkv, w_out, b_out, g_out, g),
+                              vjr(x, g_in, w_qkv, w_out, b_out, g_out, g)))
+            entry_ok = entry_ok and vjp_err <= tol_vjp
+        else:
+            vjp_err = None  # bwd is the jnp reference itself — nothing compiled
+        name = f"attn_block[N={n},C={c},{jnp.dtype(dt).name}]"
+        entry = {"fwd_max_abs_err": fwd_err, "tol_fwd": tf}
+        if vjp_err is not None:
+            entry.update(vjp_max_abs_err=vjp_err, tol_vjp=tol_vjp)
+        entry["ok"] = entry_ok
+        report["kernels"][name] = entry
+        report["ok"] = report["ok"] and entry_ok
+        print(f"{name}: fwd {fwd_err:.2e}" +
+              (f", vjp {vjp_err:.2e}" if vjp_err is not None else "") +
+              ("  OK" if entry_ok else "  FAIL"))
+
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {args.out}: {'OK' if report['ok'] else 'FAIL'}")

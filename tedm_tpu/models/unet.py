@@ -183,6 +183,39 @@ class ResnetBlock(nn.Module):
         return h + res
 
 
+class _ConvParams(nn.Module):
+    """Declares the exact param tree of an ``nn.Conv`` 1x1 without running it
+    (same names, shapes, dtypes, and initializers — so the fused-attention
+    path below is parameter-identical to the unfused module chain)."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features), jnp.float32,
+        )
+        if not self.use_bias:
+            return kernel, None
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
+class _GainParams(nn.Module):
+    """Declares ChanLayerNorm's single gain param (same path/init)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("g", nn.initializers.ones, (self.dim,), jnp.float32)
+
+
 class LinearAttention(nn.Module):
     """O(N) linear attention over spatial positions
     (reference: models/unet_model.py:178-210).
@@ -190,6 +223,14 @@ class LinearAttention(nn.Module):
     q is softmaxed over its channel dim, k over positions; the context matrix
     softmax(k)·v is a (d x e) MXU matmul per head. Wrapped with the reference's
     to_out Conv1x1 + ChanLayerNorm.
+
+    With ``use_pallas``, PreNormAttn passes its norm gain down and the WHOLE
+    block (pre-norm -> qkv 1x1 -> attention -> to_out 1x1 -> out-norm ->
+    residual) runs as ONE Pallas kernel (ops/pallas/attn_block.py): the 1x1
+    convs prefer spatial-major layouts while the attention contractions need
+    channels minor, so the unfused chain pays full-tensor relayout copies at
+    every q/k/v — measured 4.1 ms of the 10.7 ms bf16 batch-8 UNet forward
+    on v5e. The param tree is identical in both paths.
     """
 
     dim: int
@@ -204,9 +245,31 @@ class LinearAttention(nn.Module):
     layout: str = "heads_major"
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, prenorm_gain: Optional[Array] = None) -> Array:
         b, h, w, c = x.shape
         hidden = self.heads * self.dim_head
+
+        if prenorm_gain is not None:
+            # Fused Residual(PreNorm(attn)) path: x here is the UN-normalized
+            # block input; the kernel applies the pre-norm and the residual.
+            from tedm_tpu.ops.pallas.attn_block import prenorm_linear_attention
+
+            w_qkv, _ = _ConvParams(hidden * 3, c, use_bias=False, name="to_qkv")()
+            w_out, b_out = _ConvParams(self.dim, hidden, name="to_out")()
+            g_out = _GainParams(self.dim, name="out_norm")()
+            y = prenorm_linear_attention(
+                x.reshape(b, h * w, c),
+                prenorm_gain,
+                w_qkv.reshape(c, hidden * 3),
+                w_out.reshape(hidden, self.dim),
+                b_out,
+                g_out,
+                heads=self.heads,
+                dim_head=self.dim_head,
+                scale=self.dim_head ** -0.5,
+            )
+            return y.reshape(b, h, w, self.dim)
+
         qkv = nn.Conv(
             hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv"
         )(x)
@@ -308,6 +371,22 @@ class PreNormAttn(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        fuse = (
+            isinstance(self.attn, LinearAttention)
+            and getattr(self.attn, "use_pallas", False)
+            # The compiled fused kernel holds fp32 (N, 3*hidden) slabs in
+            # VMEM; at the 128² stage in fp32 that is ~119 MB > the v5e
+            # budget. bf16 (the sampling dtype) fits; fp32 training keeps
+            # the per-head linear_attention kernel below. Off-TPU the fused
+            # path is the jnp reference, so tests exercise it in fp32 too.
+            and (self.dtype == jnp.bfloat16 or jax.default_backend() != "tpu")
+        )
+        if fuse:
+            # Whole block fused into one Pallas kernel (attn_block.py);
+            # param tree identical (norm/g declared here, conv/out-norm
+            # params declared by stand-ins inside LinearAttention).
+            g_in = _GainParams(self.dim, name="norm")()
+            return self.attn(x, prenorm_gain=g_in)
         y = ChanLayerNorm(self.dim, self.dtype, name="norm")(x)
         return self.attn(y) + x
 
