@@ -45,13 +45,17 @@ def stats_b(x, groups=8):
     return mean, ex2
 
 
-def timeit(fn, *args, iters=50):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timeit(fn, x, iters=50):
+    # Data-dependency scan: the axon tunnel dedupes identical async
+    # dispatches, so an independent-call loop measures nothing (CLAUDE.md).
+    def body(c, _):
+        m, _e = fn(c)
+        return c + (m[0, 0] * 1e-30).astype(c.dtype), ()
+
+    scan = jax.jit(lambda x: jax.lax.scan(body, x, None, length=iters)[0])
+    jax.block_until_ready(scan(x))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    jax.block_until_ready(scan(x))
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -61,19 +65,22 @@ def micro():
     print(f"{'shape':>22} {'A reshape-mean':>15} {'B chan-major':>14}")
     for shp in shapes:
         x = jax.random.normal(jax.random.PRNGKey(0), shp, jnp.bfloat16)
-        fa = jax.jit(stats_a)
-        fb = jax.jit(stats_b)
-        ta = timeit(fa, x)
-        tb = timeit(fb, x)
+        ta = timeit(stats_a, x)
+        tb = timeit(stats_b, x)
         print(f"{str(shp):>22} {ta:>13.3f}ms {tb:>12.3f}ms")
 
 
 def full():
+    # NB: a data-dependency scan, NOT an async chain of independent calls —
+    # the axon tunnel dedupes identical in-flight executions and an async
+    # harness "measures" 0.6 ms for this 10 ms forward (see CLAUDE.md).
     from tedm_tpu.models.unet import Unet
 
     unet = Unet(dim=64, dim_mults=(1, 2, 4, 8), channels=1, dtype=jnp.bfloat16,
                 use_pallas=True)
-    x = jnp.zeros((8, 128, 128, 1), jnp.bfloat16)
+    x = jax.device_put(
+        np.random.RandomState(0).randn(8, 128, 128, 1).astype(np.float32)
+    ).astype(jnp.bfloat16)
     t = jnp.zeros((8,), jnp.int32)
     with jax.default_device(jax.devices("cpu")[0]):
         cpu_unet = Unet(dim=64, dim_mults=(1, 2, 4, 8), channels=1,
@@ -83,9 +90,18 @@ def full():
     params = jax.device_put(
         jax.tree_util.tree_map(lambda a: np.asarray(a), params), jax.devices()[0]
     )
-    fwd = jax.jit(lambda p, x, t: unet.apply({"params": p}, x, t))
-    ms = timeit(fwd, params, x, t, iters=30)
-    print(f"full fwd bf16 batch8: {ms:.3f} ms  ({8 / ms * 1e3:.0f} imgs/s)")
+
+    def body(c, _):
+        return unet.apply({"params": params}, c, t), ()
+
+    scan = jax.jit(lambda x: jax.lax.scan(body, x, None, length=30)[0])
+    jax.block_until_ready(scan(x))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(scan(x))
+        best = min(best, (time.perf_counter() - t0) / 30 * 1e3)
+    print(f"full fwd bf16 batch8: {best:.3f} ms  ({8 / best * 1e3:.0f} imgs/s)")
 
 
 if __name__ == "__main__":

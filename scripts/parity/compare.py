@@ -88,9 +88,12 @@ def main(argv=None) -> None:
         if not row.startswith("TEDM"):
             continue
         rt = ref["experiments"].get(row, {}).get("JSRT_test", {}).get("per_timestep", {})
+        tt = tpu["experiments"].get(row, {}).get("JSRT_test", {}).get("per_timestep", {})
         for t_str, v in sorted(rt.items(), key=lambda kv: int(kv[0])):
+            tv = tt.get(t_str)
             lines.append(
-                f"| {row} t={t_str} | {100 * v['dice_mean']:.2f} | see npz |"
+                f"| {row} t={t_str} | {100 * v['dice_mean']:.2f} | "
+                + (f"{100 * tv['dice_mean']:.2f}" if tv else "see npz") + " |"
             )
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")

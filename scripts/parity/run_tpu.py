@@ -127,7 +127,22 @@ def main(argv=None) -> None:
         ] + jsrt_common)
         exp_dir = os.path.join(args.out, "TEDM", str(n), f"t{n}")
         results = evaluate_shared_weights(exp_dir, nih_path=nih, mon_path=mon)
-        summary["experiments"][f"TEDM/{n}"] = summarize(results)
+        summ = summarize(results)
+        # per-timestep Dice from the npz artifacts (mirrors the reference
+        # summary's per_timestep block for the head-to-head table)
+        import glob as _glob
+
+        import numpy as np
+        for key in summ:
+            per_t = {}
+            for f in _glob.glob(os.path.join(exp_dir, f"{key}_timestep*_predictions.npz")):
+                t_str = f.rsplit("timestep", 1)[1].split("_")[0]
+                d = np.asarray(np.load(f)["dice"]).squeeze()
+                per_t[t_str] = {"dice_mean": float(np.nanmean(d)),
+                                "dice_std": float(np.nanstd(d[~np.isnan(d)]))}
+            if per_t:
+                summ[key]["per_timestep"] = per_t
+        summary["experiments"][f"TEDM/{n}"] = summ
         with open(os.path.join(args.out, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
 
