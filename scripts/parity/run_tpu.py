@@ -55,6 +55,7 @@ def main(argv=None) -> None:
                     help="force a jax platform (e.g. cpu) before first use")
     ap.add_argument("--skip_backbone", action="store_true")
     ap.add_argument("--skip_baseline", action="store_true")
+    ap.add_argument("--skip_tedm", action="store_true")
     ap.add_argument("--backbone_dir", type=str, default=None,
                     help="use this backbone checkpoint dir "
                          "(e.g. the torch-ported one from port_backbone.py)")
@@ -97,6 +98,11 @@ def main(argv=None) -> None:
     summary = {"img_size": args.img_size, "backbone_steps": args.backbone_steps,
                "head_steps": args.head_steps, "framework": "tedm_tpu",
                "experiments": {}}
+    # partial reruns (e.g. baselines only) update the existing summary
+    prev = os.path.join(args.out, "summary.json")
+    if os.path.exists(prev):
+        with open(prev) as f:
+            summary["experiments"] = json.load(f).get("experiments", {})
     jsrt_common = [a if a else os.path.join(args.root, "JSRT") for a in common]
 
     for n in ([] if args.skip_baseline else args.sizes):
@@ -114,7 +120,7 @@ def main(argv=None) -> None:
         with open(os.path.join(args.out, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
 
-    for n in args.sizes:
+    for n in ([] if args.skip_tedm else args.sizes):
         print(f"=== tedm_tpu TEDM n={n} ===")
         train_main([
             "--experiment", "TEDM", "--n_labelled_images", str(n),

@@ -45,6 +45,30 @@ def l2norm(x: Array, axis: int = -1, eps: float = 1e-12) -> Array:
     return x / jnp.maximum(n, eps)
 
 
+# Torch-matched kernel init: torch Conv2d/Linear default to
+# kaiming_uniform(a=sqrt(5)) == uniform with variance 1/(3*fan_in) — one
+# THIRD the variance of flax's lecun_normal default. Measured decisive for
+# low-data generalization (round-2 parity probe): baseline n=1 on the
+# parity corpus reached val dice 0.937 with lecun_normal (val loss
+# DIVERGING 0.12 -> 0.60 while train loss fit to 3e-4) vs 0.995 with this
+# init (val loss 0.033 -> 0.006, matching the torch reference run's
+# 0.030 -> 0.004 trajectory exactly). Biases stay zero (flax default) —
+# scaling kernels alone closed the whole gap.
+_torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def Conv(*args, **kw):
+    """nn.Conv with the torch-matched kernel init (see _torch_kernel_init)."""
+    kw.setdefault("kernel_init", _torch_kernel_init)
+    return nn.Conv(*args, **kw)
+
+
+def Dense(*args, **kw):
+    """nn.Dense with the torch-matched kernel init."""
+    kw.setdefault("kernel_init", _torch_kernel_init)
+    return nn.Dense(*args, **kw)
+
+
 class ChanLayerNorm(nn.Module):
     """Channel-wise biasless LayerNorm (reference: models/unet_model.py:52-61).
 
@@ -90,9 +114,9 @@ class TimeMLP(nn.Module):
     @nn.compact
     def __call__(self, t: Array) -> Array:
         x = SinusoidalPosEmb(self.dim)(t)
-        x = nn.Dense(self.time_dim, dtype=self.dtype, name="fc1")(x)
+        x = Dense(self.time_dim, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.time_dim, dtype=self.dtype, name="fc2")(x)
+        x = Dense(self.time_dim, dtype=self.dtype, name="fc2")(x)
         return x
 
 
@@ -146,7 +170,7 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, scale_shift: Optional[Tuple[Array, Array]] = None) -> Array:
-        x = nn.Conv(self.dim_out, (3, 3), padding="SAME", dtype=self.dtype, name="proj")(x)
+        x = Conv(self.dim_out, (3, 3), padding="SAME", dtype=self.dtype, name="proj")(x)
         return GNFilmSiLU(
             self.groups, self.dtype, self.use_pallas, name="norm"
         )(x, scale_shift)
@@ -168,7 +192,7 @@ class ResnetBlock(nn.Module):
         scale_shift = None
         if self.time_emb_dim is not None and time_emb is not None:
             temb = nn.silu(time_emb)
-            temb = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="time_proj")(temb)
+            temb = Dense(self.dim_out * 2, dtype=self.dtype, name="time_proj")(temb)
             temb = temb[:, None, None, :]  # (B,1,1,2C)
             scale_shift = (temb[..., : self.dim_out], temb[..., self.dim_out :])
 
@@ -177,7 +201,7 @@ class ResnetBlock(nn.Module):
         h = Block(self.dim_out, self.groups, self.dtype, self.use_pallas,
                   name="block2")(h)
         if self.dim != self.dim_out:
-            res = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x)
+            res = Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x)
         else:
             res = x
         return h + res
@@ -195,7 +219,7 @@ class _ConvParams(nn.Module):
     @nn.compact
     def __call__(self):
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
+            "kernel", _torch_kernel_init,
             (1, 1, self.in_features, self.features), jnp.float32,
         )
         if not self.use_bias:
@@ -270,7 +294,7 @@ class LinearAttention(nn.Module):
             )
             return y.reshape(b, h, w, self.dim)
 
-        qkv = nn.Conv(
+        qkv = Conv(
             hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv"
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -308,7 +332,7 @@ class LinearAttention(nn.Module):
             out = jnp.einsum("bhde,bhdn->bhen", context, qf)
             out = out.transpose(0, 3, 1, 2).reshape(b, h, w, hidden)
 
-        out = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="to_out")(out.astype(self.dtype))
+        out = Conv(self.dim, (1, 1), dtype=self.dtype, name="to_out")(out.astype(self.dtype))
         return ChanLayerNorm(self.dim, self.dtype, name="out_norm")(out)
 
 
@@ -327,7 +351,7 @@ class Attention(nn.Module):
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
         hidden = self.heads * self.dim_head
-        qkv = nn.Conv(
+        qkv = Conv(
             hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv"
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -351,7 +375,7 @@ class Attention(nn.Module):
             attn = jax.nn.softmax(sim, axis=-1)
             out = jnp.einsum("bhij,bhjd->bhid", attn, v.astype(jnp.float32))
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, hidden).astype(self.dtype)
-        return nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="to_out")(out)
+        return Conv(self.dim, (1, 1), dtype=self.dtype, name="to_out")(out)
 
 
 class Residual(nn.Module):
@@ -399,7 +423,7 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        return nn.Conv(
+        return Conv(
             self.dim_out, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
             dtype=self.dtype, name="conv",
         )(x)
@@ -414,7 +438,7 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = nearest_upsample_2x(x)
-        return nn.Conv(self.dim_out, (3, 3), padding="SAME", dtype=self.dtype, name="conv")(x)
+        return Conv(self.dim_out, (3, 3), padding="SAME", dtype=self.dtype, name="conv")(x)
 
 
 class Unet(nn.Module):
@@ -446,7 +470,7 @@ class Unet(nn.Module):
         time_dim = self.dim * 4
         g = self.resnet_block_groups
 
-        self.init_conv = nn.Conv(
+        self.init_conv = Conv(
             init_dim, (7, 7), padding="SAME", dtype=self.dtype, name="init_conv"
         )
         self.time_mlp = TimeMLP(self.dim, time_dim, self.dtype, name="time_mlp")
@@ -465,7 +489,7 @@ class Unet(nn.Module):
                     ),
                     Downsample(dim_out, self.dtype)
                     if not is_last
-                    else nn.Conv(dim_out, (3, 3), padding="SAME", dtype=self.dtype),
+                    else Conv(dim_out, (3, 3), padding="SAME", dtype=self.dtype),
                 )
             )
         self.downs = downs
@@ -497,14 +521,14 @@ class Unet(nn.Module):
                     ),
                     Upsample(dim_in, self.dtype)
                     if not is_last
-                    else nn.Conv(dim_in, (3, 3), padding="SAME", dtype=self.dtype),
+                    else Conv(dim_in, (3, 3), padding="SAME", dtype=self.dtype),
                 )
             )
         self.ups = ups
 
         out_dim = self.out_dim if self.out_dim is not None else self.channels
         self.final_res_block = ResnetBlock(self.dim * 2, self.dim, time_dim, g, self.dtype, self.use_pallas_groupnorm)
-        self.final_conv = nn.Conv(out_dim, (1, 1), dtype=self.dtype, name="final_conv")
+        self.final_conv = Conv(out_dim, (1, 1), dtype=self.dtype, name="final_conv")
 
     # ------------------------------------------------------------- pieces
 
