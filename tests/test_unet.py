@@ -110,3 +110,37 @@ def test_sinusoidal_pos_emb_matches_reference_formula():
         axis=-1,
     )
     np.testing.assert_allclose(np.asarray(emb), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_torch_matched_kernel_init():
+    """UNet convs/denses ship the torch-default init: kaiming_uniform(a=sqrt(5))
+    == uniform with variance 1/(3*fan_in), one third of flax's lecun_normal
+    (torch nn.Conv2d/Linear reset_parameters). Measured decisive for low-data
+    generalization — baseline n=1 on the parity corpus: 0.937 val Dice with
+    lecun_normal (val loss diverging) vs 0.995 with this init, matching the
+    torch reference trajectory exactly (see RESULTS_parity.md)."""
+    from tedm_tpu.models.unet import _torch_kernel_init
+
+    fan_in = 3 * 3 * 64
+    k = _torch_kernel_init(jax.random.PRNGKey(0), (3, 3, 64, 128), jnp.float32)
+    w = np.asarray(k)
+    bound = np.sqrt(1.0 / fan_in)  # uniform(-b, b) with b = sqrt(3 * var)
+    assert np.abs(w).max() <= bound + 1e-7
+    assert np.abs(w).max() > 0.9 * bound  # actually uniform, not degenerate
+    np.testing.assert_allclose(w.var(), 1.0 / (3.0 * fan_in), rtol=0.05)
+
+    m = Unet(dim=8, dim_mults=(1, 2), channels=1)
+    params = m.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)), jnp.zeros((1,), jnp.int32)
+    )
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    checked = 0
+    for path, leaf in flat:
+        name = jax.tree_util.keystr(path)
+        if "kernel" not in name or leaf.ndim < 2:
+            continue
+        fi = int(np.prod(leaf.shape[:-1]))
+        b = np.sqrt(1.0 / fi)
+        assert np.abs(np.asarray(leaf)).max() <= b + 1e-6, name
+        checked += 1
+    assert checked > 10
