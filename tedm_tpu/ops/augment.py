@@ -47,12 +47,20 @@ def crop_batch(
 ):
     """Per-sample random crop-resize on (B, H, W, C); optionally the same
     geometry applied to labels (rounded), like the reference's two-list
-    mode (trainers/utils.py:179-228)."""
+    mode (trainers/utils.py:179-228).
+
+    Documented deviation: the reference draws integer box sizes
+    (randint); this draws CONTINUOUS sizes from the same range so the
+    whole batch augments in one vmapped scale_and_translate with static
+    shapes (integer boxes would need per-sample dynamic slicing, which
+    recompiles or gathers). Distributionally it is the continuous
+    relaxation of the same law; bilinear resampling quantizes geometry
+    anyway."""
     b, h, w, c = imgs.shape
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     ox = jax.random.randint(k1, (b,), 0, origin_max).astype(jnp.float32)
     oy = jax.random.randint(k2, (b,), 0, origin_max).astype(jnp.float32)
-    # box size ~ U[box_min, img - origin) per sample (reference randint)
+    # box size ~ U[box_min, img - origin) per sample (continuous; see above)
     ux = jax.random.uniform(k3, (b,))
     uy = jax.random.uniform(k4, (b,))
     bx = box_min + ux * (h - ox - box_min)
