@@ -192,6 +192,50 @@ def main(argv=None) -> None:
               (f", vjp {vjp_err:.2e}" if vjp_err is not None else "") +
               ("  OK" if entry_ok else "  FAIL"))
 
+    # ---- fused ResnetBlock (conv3x3+GN+FiLM+SiLU x2 + residual) --------
+    from tedm_tpu.ops.pallas.resblock import (
+        fused_resnet_block, resnet_block_reference,
+    )
+
+    # one shape per UNet stage family: high-res small-C, mid, deep big-C;
+    # bf16 at the production 128² shape with compute-dtype tolerance.
+    for (b, hh, ww, cin, cout, dt, tf) in [
+        (2, 32, 32, 128, 128, jnp.float32, tol_fwd),
+        (2, 16, 16, 512, 512, jnp.float32, tol_fwd),
+        (2, 64, 64, 128, 64, jnp.float32, tol_fwd),   # Cin != Cout (res_conv)
+        (4, 128, 128, 64, 64, jnp.bfloat16, 5e-2),
+    ]:
+        ks = jax.random.split(rng, 12)
+        rng = ks[11]
+        x = jax.random.normal(ks[0], (b, hh, ww, cin), jnp.float32).astype(dt)
+        w1 = jax.random.normal(ks[1], (3, 3, cin, cout)) * (9 * cin) ** -0.5
+        b1 = 0.05 * jax.random.normal(ks[2], (cout,))
+        g1 = 1.0 + 0.1 * jax.random.normal(ks[3], (cout,))
+        be1 = 0.05 * jax.random.normal(ks[4], (cout,))
+        w2 = jax.random.normal(ks[5], (3, 3, cout, cout)) * (9 * cout) ** -0.5
+        b2 = 0.05 * jax.random.normal(ks[6], (cout,))
+        g2 = 1.0 + 0.1 * jax.random.normal(ks[7], (cout,))
+        be2 = 0.05 * jax.random.normal(ks[8], (cout,))
+        scale = 0.1 * jax.random.normal(ks[9], (b, cout))
+        shift = 0.1 * jax.random.normal(ks[10], (b, cout))
+        if cin != cout:
+            wres = jax.random.normal(ks[2], (cin, cout)) * cin ** -0.5
+            bres = 0.05 * jax.random.normal(ks[4], (cout,))
+        else:
+            wres = bres = None
+
+        fk = jax.jit(lambda x, s, sh: fused_resnet_block(
+            x, w1, b1, g1, be1, s, sh, w2, b2, g2, be2, wres, bres,
+            interpret=False))
+        fr = jax.jit(lambda x, s, sh: resnet_block_reference(
+            x, w1, b1, g1, be1, s, sh, w2, b2, g2, be2, wres, bres))
+        fwd_err = _maxabs(fk(x, scale, shift), fr(x, scale, shift))
+        name = f"resblock[{hh}x{ww} {cin}->{cout},{jnp.dtype(dt).name}]"
+        entry = {"fwd_max_abs_err": fwd_err, "tol_fwd": tf, "ok": fwd_err <= tf}
+        report["kernels"][name] = entry
+        report["ok"] = report["ok"] and entry["ok"]
+        print(f"{name}: fwd {fwd_err:.2e}" + ("  OK" if entry["ok"] else "  FAIL"))
+
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {args.out}: {'OK' if report['ok'] else 'FAIL'}")

@@ -141,6 +141,9 @@ class Config:
     use_pallas: bool = True               # fused Pallas kernels where available (TPU only)
     use_pallas_groupnorm: bool = False    # fused GroupNorm+FiLM+SiLU kernel (opt-in:
                                           # measured slower at 128² — see docs/DESIGN.md)
+    use_pallas_resblock: bool = False     # fused whole-ResnetBlock kernel
+                                          # (conv3x3+GN+FiLM+SiLU ×2 + residual
+                                          # in one kernel; see docs/DESIGN.md)
     attn_layout: str = "heads_major"      # linear-attention einsum layout
                                           # ('heads_major' | 'nhwc'; measured equal on v5e)
     synthetic_data: bool = False          # deterministic synthetic CXR data (no image files needed)
@@ -324,6 +327,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_pallas", action="store_true", help="disable Pallas kernels")
     p.add_argument("--use_pallas_groupnorm", action="store_true",
                    help="fused GroupNorm+FiLM+SiLU kernel (opt-in; re-measure per shape)")
+    p.add_argument("--use_pallas_resblock", action="store_true",
+                   help="fused whole-ResnetBlock Pallas kernel")
     p.add_argument("--attn_layout", type=str, default=defaults.attn_layout,
                    choices=["heads_major", "nhwc"],
                    help="linear-attention einsum layout (measured equal on v5e)")

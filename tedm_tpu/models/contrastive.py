@@ -39,6 +39,7 @@ class GlobalCL(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     use_pallas_groupnorm: bool = False
+    use_pallas_resblock: bool = False
     attn_layout: str = "heads_major"
 
     def setup(self) -> None:
@@ -46,6 +47,7 @@ class GlobalCL(nn.Module):
             dim=self.dim, dim_mults=tuple(self.dim_mults), channels=self.channels,
             dtype=self.dtype, use_pallas=self.use_pallas,
             use_pallas_groupnorm=self.use_pallas_groupnorm,
+            use_pallas_resblock=self.use_pallas_resblock,
             attn_layout=self.attn_layout, name="unet",
         )
         self.g1_fc1 = nn.Dense(self.g_emb, use_bias=False, dtype=self.dtype, name="g1_fc1")
@@ -73,6 +75,7 @@ class LocalCL(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     use_pallas_groupnorm: bool = False
+    use_pallas_resblock: bool = False
     attn_layout: str = "heads_major"
 
     def setup(self) -> None:
@@ -80,6 +83,7 @@ class LocalCL(nn.Module):
             dim=self.dim, dim_mults=tuple(self.dim_mults), channels=self.channels,
             dtype=self.dtype, use_pallas=self.use_pallas,
             use_pallas_groupnorm=self.use_pallas_groupnorm,
+            use_pallas_resblock=self.use_pallas_resblock,
             attn_layout=self.attn_layout, name="unet",
         )
         dims = [self.dim] + [self.dim * m for m in self.dim_mults]

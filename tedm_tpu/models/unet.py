@@ -178,7 +178,14 @@ class Block(nn.Module):
 
 class ResnetBlock(nn.Module):
     """Two FiLM-conditioned Blocks with a residual 1x1 projection
-    (reference: models/unet_model.py:138-175)."""
+    (reference: models/unet_model.py:138-175).
+
+    With ``use_pallas_resblock`` the WHOLE block — conv3x3 → GN+FiLM+SiLU →
+    conv3x3 → GN+SiLU → +res_conv(x) — runs as ONE Pallas kernel
+    (ops/pallas/resblock.py): one HBM read of x, one write of out, no
+    standalone GroupNorm statistics traversals between the convs. The
+    param tree is identical in both paths (only the time MLP runs
+    outside the kernel)."""
 
     dim: int
     dim_out: int
@@ -186,6 +193,7 @@ class ResnetBlock(nn.Module):
     groups: int = 8
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_resblock: bool = False
 
     @nn.compact
     def __call__(self, x: Array, time_emb: Optional[Array] = None) -> Array:
@@ -195,6 +203,28 @@ class ResnetBlock(nn.Module):
             temb = Dense(self.dim_out * 2, dtype=self.dtype, name="time_proj")(temb)
             temb = temb[:, None, None, :]  # (B,1,1,2C)
             scale_shift = (temb[..., : self.dim_out], temb[..., self.dim_out :])
+
+        if self.use_pallas_resblock:
+            from tedm_tpu.ops.pallas.resblock import fused_resnet_block
+
+            in_c = x.shape[-1]
+            w1, b1, g1, be1 = _BlockParams(self.dim_out, in_c, name="block1")()
+            w2, b2, g2, be2 = _BlockParams(self.dim_out, self.dim_out,
+                                           name="block2")()
+            wres = bres = None
+            if self.dim != self.dim_out:
+                kres, bres = _ConvParams(self.dim_out, in_c,
+                                         name="res_conv")()
+                wres = kres.reshape(in_c, self.dim_out)
+            scale = shift = None
+            if scale_shift is not None:
+                b_ = x.shape[0]
+                scale = scale_shift[0].reshape(b_, self.dim_out)
+                shift = scale_shift[1].reshape(b_, self.dim_out)
+            return fused_resnet_block(
+                x.astype(self.dtype), w1, b1, g1, be1, scale, shift,
+                w2, b2, g2, be2, wres, bres, groups=self.groups,
+            ).astype(self.dtype)
 
         h = Block(self.dim_out, self.groups, self.dtype, self.use_pallas,
                   name="block1")(x, scale_shift)
@@ -208,19 +238,22 @@ class ResnetBlock(nn.Module):
 
 
 class _ConvParams(nn.Module):
-    """Declares the exact param tree of an ``nn.Conv`` 1x1 without running it
+    """Declares the exact param tree of an ``nn.Conv`` without running it
     (same names, shapes, dtypes, and initializers — so the fused-attention
-    path below is parameter-identical to the unfused module chain)."""
+    and fused-resblock paths below are parameter-identical to the unfused
+    module chain)."""
 
     features: int
     in_features: int
     use_bias: bool = True
+    ksize: int = 1
 
     @nn.compact
     def __call__(self):
         kernel = self.param(
             "kernel", _torch_kernel_init,
-            (1, 1, self.in_features, self.features), jnp.float32,
+            (self.ksize, self.ksize, self.in_features, self.features),
+            jnp.float32,
         )
         if not self.use_bias:
             return kernel, None
@@ -228,6 +261,35 @@ class _ConvParams(nn.Module):
             "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
         )
         return kernel, bias
+
+
+class _GNParams(nn.Module):
+    """Declares GNFilmSiLU's scale/bias params (same paths/inits)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        gamma = self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        return gamma, beta
+
+
+class _BlockParams(nn.Module):
+    """Declares the exact param tree of a ``Block`` (conv3x3 'proj' +
+    GNFilmSiLU 'norm') without running it — the fused-resblock path."""
+
+    dim_out: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        w, b = _ConvParams(self.dim_out, self.in_features, ksize=3,
+                           name="proj")()
+        gamma, beta = _GNParams(self.dim_out, name="norm")()
+        return w, b, gamma, beta
 
 
 class _GainParams(nn.Module):
@@ -461,6 +523,10 @@ class Unet(nn.Module):
     # elementwise fusions (+2.8 ms fusion, +0.5 ms copy), a net loss at
     # 128²/batch-8. Re-measure before enabling at other shapes.
     use_pallas_groupnorm: bool = False
+    # The fused whole-ResnetBlock kernel (conv3x3+GN+FiLM+SiLU twice +
+    # residual in ONE kernel, ops/pallas/resblock.py) — unlike the
+    # GN-only kernel it introduces no mid-chain fusion boundary.
+    use_pallas_resblock: bool = False
 
     def setup(self) -> None:
         init_dim = self.init_dim if self.init_dim is not None else self.dim
@@ -480,8 +546,8 @@ class Unet(nn.Module):
             is_last = ind >= len(in_out) - 1
             downs.append(
                 (
-                    ResnetBlock(dim_in, dim_in, time_dim, g, self.dtype, self.use_pallas_groupnorm),
-                    ResnetBlock(dim_in, dim_in, time_dim, g, self.dtype, self.use_pallas_groupnorm),
+                    ResnetBlock(dim_in, dim_in, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock),
+                    ResnetBlock(dim_in, dim_in, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock),
                     PreNormAttn(
                         dim_in,
                         LinearAttention(dim_in, dtype=self.dtype, use_pallas=self.use_pallas, layout=self.attn_layout),
@@ -495,7 +561,7 @@ class Unet(nn.Module):
         self.downs = downs
 
         mid_dim = dims[-1]
-        self.mid_block1 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype, self.use_pallas_groupnorm)
+        self.mid_block1 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock)
         # Mid attention stays on the XLA path: the Pallas flash kernel was
         # measured 2-5x SLOWER on v5e at N=1024..4096 (d=32 contractions
         # underfill the MXU; XLA's batched einsum wins until the N x N
@@ -505,15 +571,15 @@ class Unet(nn.Module):
         self.mid_attn = PreNormAttn(
             mid_dim, Attention(mid_dim, dtype=self.dtype), self.dtype
         )
-        self.mid_block2 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype, self.use_pallas_groupnorm)
+        self.mid_block2 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock)
 
         ups = []
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == len(in_out) - 1
             ups.append(
                 (
-                    ResnetBlock(dim_out + dim_in, dim_out, time_dim, g, self.dtype, self.use_pallas_groupnorm),
-                    ResnetBlock(dim_out + dim_in, dim_out, time_dim, g, self.dtype, self.use_pallas_groupnorm),
+                    ResnetBlock(dim_out + dim_in, dim_out, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock),
+                    ResnetBlock(dim_out + dim_in, dim_out, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock),
                     PreNormAttn(
                         dim_out,
                         LinearAttention(dim_out, dtype=self.dtype, use_pallas=self.use_pallas, layout=self.attn_layout),
@@ -527,7 +593,7 @@ class Unet(nn.Module):
         self.ups = ups
 
         out_dim = self.out_dim if self.out_dim is not None else self.channels
-        self.final_res_block = ResnetBlock(self.dim * 2, self.dim, time_dim, g, self.dtype, self.use_pallas_groupnorm)
+        self.final_res_block = ResnetBlock(self.dim * 2, self.dim, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock)
         self.final_conv = Conv(out_dim, (1, 1), dtype=self.dtype, name="final_conv")
 
     # ------------------------------------------------------------- pieces

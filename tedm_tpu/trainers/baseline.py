@@ -31,6 +31,9 @@ def build_task(config: Config, rng) -> SegTask:
         use_pallas_groupnorm=(
             config.use_pallas_groupnorm and jax.default_backend() == "tpu"
         ),
+        use_pallas_resblock=(
+            config.use_pallas_resblock and jax.default_backend() == "tpu"
+        ),
         attn_layout=config.attn_layout,
     )
     variables = unet.init(

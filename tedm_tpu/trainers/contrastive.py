@@ -203,6 +203,9 @@ def main_global(config: Config) -> None:
         use_pallas_groupnorm=(
             config.use_pallas_groupnorm and jax.default_backend() == "tpu"
         ),
+        use_pallas_resblock=(
+            config.use_pallas_resblock and jax.default_backend() == "tpu"
+        ),
         attn_layout=config.attn_layout,
     )
     variables = model.init(
@@ -223,6 +226,9 @@ def main_local(config: Config) -> None:
         use_pallas=config.use_pallas and jax.default_backend() == "tpu",
         use_pallas_groupnorm=(
             config.use_pallas_groupnorm and jax.default_backend() == "tpu"
+        ),
+        use_pallas_resblock=(
+            config.use_pallas_resblock and jax.default_backend() == "tpu"
         ),
         attn_layout=config.attn_layout,
     )
@@ -310,6 +316,9 @@ def main_finetune(config: Config) -> None:
         use_pallas=config.use_pallas and jax.default_backend() == "tpu",
         use_pallas_groupnorm=(
             config.use_pallas_groupnorm and jax.default_backend() == "tpu"
+        ),
+        use_pallas_resblock=(
+            config.use_pallas_resblock and jax.default_backend() == "tpu"
         ),
         attn_layout=config.attn_layout,
     )

@@ -47,6 +47,9 @@ def load_backbone(config: Config, rng) -> Tuple[Unet, Any, Any]:
             use_pallas_groupnorm=(
                 config.use_pallas_groupnorm and jax.default_backend() == "tpu"
             ),
+            use_pallas_resblock=(
+                config.use_pallas_resblock and jax.default_backend() == "tpu"
+            ),
             attn_layout=config.attn_layout,
         )
         template = unet.init(
@@ -75,6 +78,9 @@ def load_backbone(config: Config, rng) -> Tuple[Unet, Any, Any]:
         use_pallas=config.use_pallas and jax.default_backend() == "tpu",
         use_pallas_groupnorm=(
             config.use_pallas_groupnorm and jax.default_backend() == "tpu"
+        ),
+        use_pallas_resblock=(
+            config.use_pallas_resblock and jax.default_backend() == "tpu"
         ),
         attn_layout=config.attn_layout,
     )

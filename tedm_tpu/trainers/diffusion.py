@@ -72,6 +72,9 @@ def build_model(config: Config) -> Unet:
         use_pallas_groupnorm=(
             config.use_pallas_groupnorm and jax.default_backend() == "tpu"
         ),
+        use_pallas_resblock=(
+            config.use_pallas_resblock and jax.default_backend() == "tpu"
+        ),
         attn_layout=config.attn_layout,
     )
 

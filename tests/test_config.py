@@ -64,3 +64,14 @@ def test_feature_channels():
 def test_unknown_keys_ignored():
     c = Config.from_dict({"lr": 1.0, "bogus_key": 42})
     assert c.lr == 1.0
+
+
+def test_pallas_kernel_flags_reach_config():
+    from tedm_tpu.config import config_from_args
+
+    cfg = config_from_args([
+        "--experiment", "baseline", "--use_pallas_resblock",
+        "--use_pallas_groupnorm", "--debug",
+    ])
+    assert cfg.use_pallas_resblock and cfg.use_pallas_groupnorm
+    assert config_from_args(["--experiment", "baseline", "--debug"]).use_pallas_resblock is False
