@@ -305,7 +305,17 @@ def fused_resnet_block(
             return resnet_block_reference(
                 x, w1, b1, g1, be1, scale, shift, w2, b2, g2, be2, wres,
                 bres, groups=groups, eps=eps)
-    if cout % groups:
+    # Whole-slab kernel: one batch element's activations must fit VMEM.
+    # Conservative estimate with 128-lane padding (input slab + padded
+    # copy + two fp32 accumulators + normalized intermediate + residual);
+    # beyond ~90 MB (256²+ at production widths) fall back to XLA rather
+    # than fail the Mosaic scoped-vmem check at compile time.
+    lanes = lambda c: ((c + 127) // 128) * 128
+    n_est = h * w
+    est = (n_est * lanes(cin) * (x.dtype.itemsize * 2)          # x + xp
+           + n_est * lanes(cout) * (4 * 3 + x.dtype.itemsize)   # accs/res/h1n
+           + 4 * 9 * (cin * cout + cout * cout))                # weights
+    if cout % groups or est > 90 * 1024 * 1024:
         return resnet_block_reference(
             x, w1, b1, g1, be1, scale, shift, w2, b2, g2, be2, wres, bres,
             groups=groups, eps=eps)
