@@ -67,7 +67,12 @@ def main() -> None:
     dt = jnp.float32 if args.fp32 else jnp.bfloat16
     base = bench(False, args.batch, args.iters, dt, args.size)
     fused = bench(True, args.batch, args.iters, dt, args.size)
-    print(f"speedup: {base / fused:.3f}x", flush=True)
+    print(f"speedup (all stages): {base / fused:.3f}x", flush=True)
+    # wide-stages-only variant: the narrow 64-ch 128² stage starves the
+    # MXU in the 9-matmul decomposition; gate it to C>=128 and re-measure
+    os.environ["TEDM_RESBLOCK_MIN_C"] = "128"
+    gated = bench(True, args.batch, args.iters, dt, args.size)
+    print(f"speedup (C>=128 stages only): {base / gated:.3f}x", flush=True)
 
 
 if __name__ == "__main__":

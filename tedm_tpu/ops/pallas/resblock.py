@@ -22,8 +22,11 @@ This kernel runs the entire block per batch element in VMEM:
   whose row-boundary wraparound is zeroed by a per-column mask (a (N, 1)
   iota compare; the 6 masked taps cost one VPU multiply each);
 * matmuls run in the model's compute dtype with fp32 accumulation
-  (`preferred_element_type`) — the same lowering the unfused flax convs
-  get, so the kernel is numerically interchangeable with the XLA path;
+  (`preferred_element_type`); fp32 operands additionally force
+  `Precision.HIGHEST` — the MXU's default single-pass bf16 truncation
+  measured up to 1.8e-3 fwd error vs XLA's multi-pass fp32 convs on the
+  on-chip gate (KERNELS.json r2), so the fp32 path is made fp32-exact
+  while bf16 (the production sampling dtype) keeps the default;
 * GroupNorm statistics are fp32 over the resident fp32 conv accumulator
   (one sum + one sum-of-squares over rows, folded per-channel with the
   constant group-membership matmul at HIGHEST precision — the MXU's
@@ -44,6 +47,7 @@ math) so tests and the virtual-device mesh run anywhere.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -66,25 +70,42 @@ def _conv9(xflat: Array, w9: Array, width: int, cdt) -> Array:
     pad = jnp.zeros((width + 1, cin), cdt)
     xp = jnp.concatenate([pad, xflat, pad], axis=0)  # (N + 2W + 2, Cin)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) % width
+    prec = _mxu_precision(cdt)
 
-    def tap(t, acc):
+    # The 9 taps are unrolled in Python: every slice offset and the weight
+    # index are then STATIC, which is required — Mosaic TC has no lowering
+    # for dynamic_slice with a traced start (the on-chip gate caught the
+    # fori_loop version failing to compile). Each tap's slab is consumed by
+    # its matmul immediately, so the unroll does not grow live VMEM.
+    acc = jnp.zeros((n, cout), jnp.float32)
+    for t in range(9):
         dy = t // 3
         dx = t % 3
         # output i reads input flat index i + (dy-1)*W + (dx-1); +W+1 pad off
         off = (dy - 1) * width + (dx - 1) + width + 1
-        slab = jax.lax.dynamic_slice(xp, (off, 0), (n, cin))
+        slab = jax.lax.slice(xp, (off, 0), (off + n, cin))
         # zero the row-boundary wraparound of the dx shift (and the parts of
         # the dy pad the dx offset slid into view)
-        c = col + (dx - 1)
-        mask = ((c >= 0) & (c <= width - 1)).astype(cdt)
-        wt = jax.lax.dynamic_index_in_dim(w9, t, axis=0, keepdims=False)
-        return acc + jax.lax.dot_general(
-            slab * mask, wt.astype(cdt), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        if dx == 1:
+            masked = slab
+        else:
+            c = col + (dx - 1)
+            mask = ((c >= 0) & (c <= width - 1)).astype(cdt)
+            masked = slab * mask
+        acc = acc + jax.lax.dot_general(
+            masked, w9[t].astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
         )
+    return acc
 
-    acc0 = jnp.zeros((n, cout), jnp.float32)
-    return jax.lax.fori_loop(0, 9, tap, acc0)
+
+def _mxu_precision(cdt):
+    """fp32 operands must NOT take the MXU's default single-pass bf16
+    truncation: the on-chip gate measured up to 1.8e-3 fwd error vs the
+    XLA reference at 512 channels (XLA's fp32 convs lower to multi-pass).
+    HIGHEST makes the fp32 path fp32-exact; bf16 keeps the default."""
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(cdt) == jnp.float32 else None)
 
 
 def _gn_film_silu_val(h: Array, gamma: Array, beta: Array, film_a,
@@ -136,7 +157,7 @@ def _kernel(x_ref, w1_ref, b1_ref, g1_ref, be1_ref, s_ref, sh_ref,
     if has_res:
         res = jax.lax.dot_general(
             x, wres_ref[0].astype(cdt), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_mxu_precision(cdt),
         ) + bres_ref[0].reshape(1, cout)
     else:
         res = x.astype(jnp.float32)
@@ -212,6 +233,7 @@ def resnet_block_reference(
             inp.astype(cdt), kern.astype(cdt), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
+            precision=_mxu_precision(cdt),
         )
 
     def gn(t, gamma, beta, fa, fb):
@@ -232,7 +254,8 @@ def resnet_block_reference(
     hh = gn(hh, g2.astype(jnp.float32), be2.astype(jnp.float32), None, None)
     if wres is not None:
         res = jnp.einsum("bhwc,cd->bhwd", x.astype(cdt), wres.astype(cdt),
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=_mxu_precision(cdt))
         res = res + bres.astype(jnp.float32)
     else:
         res = x.astype(jnp.float32)
@@ -306,16 +329,25 @@ def fused_resnet_block(
                 x, w1, b1, g1, be1, scale, shift, w2, b2, g2, be2, wres,
                 bres, groups=groups, eps=eps)
     # Whole-slab kernel: one batch element's activations must fit VMEM.
-    # Conservative estimate with 128-lane padding (input slab + padded
-    # copy + two fp32 accumulators + normalized intermediate + residual);
-    # beyond ~90 MB (256²+ at production widths) fall back to XLA rather
-    # than fail the Mosaic scoped-vmem check at compile time.
+    # Estimate with 128-lane padding (input slab + padded copy + two fp32
+    # accumulators + normalized intermediate + residual) — then scale by
+    # the empirical 2.5× Mosaic stack factor: fp32 at 128²/64ch estimates
+    # ~50 MB this way but Mosaic's scoped-vmem check reports 124.5 MB
+    # actual demand (caught by the CLI debug drive on-chip). Beyond the
+    # 105 MB guard (fp32 at 128², anything at 256²+) fall back to XLA
+    # rather than fail at compile time.
     lanes = lambda c: ((c + 127) // 128) * 128
     n_est = h * w
     est = (n_est * lanes(cin) * (x.dtype.itemsize * 2)          # x + xp
            + n_est * lanes(cout) * (4 * 3 + x.dtype.itemsize)   # accs/res/h1n
            + 4 * 9 * (cin * cout + cout * cout))                # weights
-    if cout % groups or est > 90 * 1024 * 1024:
+    est = int(est * 2.5)
+    # Narrow stages starve the MXU in the 9-shifted-matmul decomposition
+    # (K = N = 64 at the 128² stage is <=25% lane utilization; XLA's conv
+    # packs those better) — TEDM_RESBLOCK_MIN_C gates the kernel to wide
+    # stages for A/B measurement (scripts/bench_resblock.py).
+    min_c = int(os.environ.get("TEDM_RESBLOCK_MIN_C", "0"))
+    if cout % groups or min(cin, cout) < min_c or est > 105 * 1024 * 1024:
         return resnet_block_reference(
             x, w1, b1, g1, be1, scale, shift, w2, b2, g2, be2, wres, bres,
             groups=groups, eps=eps)
