@@ -8,6 +8,9 @@ ROOT=${1:-/tmp/capstone}
 cd /root/repo
 mkdir -p "$ROOT"
 
+echo "=== 0/5 compiled-kernel gate (KERNELS.json) ==="
+python scripts/kernel_check.py
+
 echo "=== 1/5 backbone (img_only, 600 steps) ==="
 python -m tedm_tpu.train --experiment img_only --synthetic_data \
   --log_dir "$ROOT/backbone" --max_steps 600 --val_freq 300 --log_freq 100 \

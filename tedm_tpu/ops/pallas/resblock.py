@@ -99,6 +99,24 @@ def _conv9(xflat: Array, w9: Array, width: int, cdt) -> Array:
     return acc
 
 
+def fits_vmem(h: int, w: int, cin: int, cout: int, dtype) -> bool:
+    """Whole-slab VMEM fit predicate: one batch element's activations must
+    fit the per-core VMEM. Estimate with 128-lane padding (input slab +
+    padded copy + two fp32 accumulators + normalized intermediate +
+    residual), then scale by the empirical 2.5× Mosaic stack factor:
+    fp32 at 128²/64ch estimates ~50 MB this way but Mosaic's scoped-vmem
+    check reports 124.5 MB actual demand (caught by the CLI debug drive
+    on-chip). Beyond the 105 MB guard (fp32 at 128², anything at 256²+)
+    the caller falls back to XLA rather than fail at compile time."""
+    lanes = lambda c: ((c + 127) // 128) * 128
+    n_est = h * w
+    itemsize = jnp.dtype(dtype).itemsize
+    est = (n_est * lanes(cin) * (itemsize * 2)          # x + xp
+           + n_est * lanes(cout) * (4 * 3 + itemsize)   # accs/res/h1n
+           + 4 * 9 * (cin * cout + cout * cout))        # weights
+    return int(est * 2.5) <= 105 * 1024 * 1024
+
+
 def _mxu_precision(cdt):
     """fp32 operands must NOT take the MXU's default single-pass bf16
     truncation: the on-chip gate measured up to 1.8e-3 fwd error vs the
@@ -328,26 +346,13 @@ def fused_resnet_block(
             return resnet_block_reference(
                 x, w1, b1, g1, be1, scale, shift, w2, b2, g2, be2, wres,
                 bres, groups=groups, eps=eps)
-    # Whole-slab kernel: one batch element's activations must fit VMEM.
-    # Estimate with 128-lane padding (input slab + padded copy + two fp32
-    # accumulators + normalized intermediate + residual) — then scale by
-    # the empirical 2.5× Mosaic stack factor: fp32 at 128²/64ch estimates
-    # ~50 MB this way but Mosaic's scoped-vmem check reports 124.5 MB
-    # actual demand (caught by the CLI debug drive on-chip). Beyond the
-    # 105 MB guard (fp32 at 128², anything at 256²+) fall back to XLA
-    # rather than fail at compile time.
-    lanes = lambda c: ((c + 127) // 128) * 128
-    n_est = h * w
-    est = (n_est * lanes(cin) * (x.dtype.itemsize * 2)          # x + xp
-           + n_est * lanes(cout) * (4 * 3 + x.dtype.itemsize)   # accs/res/h1n
-           + 4 * 9 * (cin * cout + cout * cout))                # weights
-    est = int(est * 2.5)
     # Narrow stages starve the MXU in the 9-shifted-matmul decomposition
     # (K = N = 64 at the 128² stage is <=25% lane utilization; XLA's conv
     # packs those better) — TEDM_RESBLOCK_MIN_C gates the kernel to wide
     # stages for A/B measurement (scripts/bench_resblock.py).
     min_c = int(os.environ.get("TEDM_RESBLOCK_MIN_C", "0"))
-    if cout % groups or min(cin, cout) < min_c or est > 105 * 1024 * 1024:
+    if (cout % groups or min(cin, cout) < min_c
+            or not fits_vmem(h, w, cin, cout, x.dtype)):
         return resnet_block_reference(
             x, w1, b1, g1, be1, scale, shift, w2, b2, g2, be2, wres, bres,
             groups=groups, eps=eps)

@@ -254,17 +254,21 @@ def train_segmentation(
                 jax.profiler.stop_trace()
             # keep device scalars: a float()/np.asarray() here would block
             # on the step result every iteration (one host<->device round
-            # trip per step — measured 61 ms/step vs the 14 ms device time
-            # of the jitted step; JAX's async dispatch only pays off if the
+            # trip per step; JAX's async dispatch only pays off if the
             # host never syncs inside the hot loop)
             train_losses.append(loss)
             fold_losses.append(per_fold)
             imgs_seen += int(batch["valid"].sum())
 
             if step % config.log_freq == 0 or config.debug:
+                # Sync on the window's losses BEFORE reading the clock —
+                # dt must cover the actual execution of every step in the
+                # window, not just their async dispatch (see
+                # trainers/diffusion.py for the measured failure mode).
+                window_loss = float(np.mean([float(l) for l in train_losses]))
                 dt = time.time() - t0
                 logs = {
-                    "train/loss": float(np.mean([float(l) for l in train_losses])),
+                    "train/loss": window_loss,
                     "train/imgs_per_sec": imgs_seen / max(dt, 1e-9),
                 }
                 if task.fold > 1 and task.fold_names:

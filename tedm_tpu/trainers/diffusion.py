@@ -266,16 +266,22 @@ def main(config: Config) -> None:
                 jax.block_until_ready(loss)
                 jax.profiler.stop_trace()
             # device scalars only — float() here would sync the host to the
-            # device every step (measured: the per-step round trip turned a
-            # 14 ms jitted step into a 61 ms loop step)
+            # device every step (one tunnel round trip per step)
             train_losses.append(loss)
             if config.experiment == "joint":
                 channel_losses.append(ch_losses)
             imgs += int(batch["valid"].sum())
 
             if step % config.log_freq == 0 or config.debug:
+                # Materialize the window's losses BEFORE reading the clock:
+                # the float() blocks until every step in the window has
+                # actually executed. Reading dt first measured DISPATCH
+                # rate, not execution — async dispatch runs far ahead of
+                # the device, and the device time it excluded reappeared
+                # in nobody's window (the axon tunnel trap, in-product).
+                window_loss = float(np.mean([float(l) for l in train_losses]))
                 dt = time.time() - t0
-                metrics = {"train/loss": float(np.mean([float(l) for l in train_losses])),
+                metrics = {"train/loss": window_loss,
                            "train/imgs_per_sec": imgs / max(dt, 1e-9)}
                 if channel_losses:
                     ch = np.mean([np.asarray(c) for c in channel_losses], axis=0)

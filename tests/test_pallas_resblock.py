@@ -152,3 +152,18 @@ def test_unet_fused_resblock_param_tree_and_forward_parity():
     g = jax.grad(lambda p: jnp.sum(m1.apply(p, x, t) ** 2))(p1)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_vmem_fit_guard_calibration():
+    """Pin the calibrated VMEM fit decisions (Mosaic's actual stack demand
+    is ~2.5x the naive slab estimate; fp32 at 128p/64ch demanded 124.5 MB
+    against the 110 MB scoped limit on-chip and must fall back, while the
+    bf16 production shape and every deeper fp32 stage fit)."""
+    from tedm_tpu.ops.pallas.resblock import fits_vmem
+
+    assert not fits_vmem(128, 128, 64, 64, jnp.float32)   # measured OOM
+    assert fits_vmem(128, 128, 64, 64, jnp.bfloat16)      # ran on-chip
+    assert fits_vmem(64, 64, 128, 64, jnp.float32)        # gate shape
+    assert fits_vmem(32, 32, 128, 128, jnp.float32)       # gate shape
+    assert fits_vmem(16, 16, 512, 512, jnp.float32)       # gate shape
+    assert not fits_vmem(256, 256, 64, 64, jnp.bfloat16)  # 256p falls back
