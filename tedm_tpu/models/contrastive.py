@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from tedm_tpu.models.unet import Unet
+from tedm_tpu.models.unet import Conv, Dense, Unet
 
 Dtype = Any
 
@@ -50,8 +50,10 @@ class GlobalCL(nn.Module):
             use_pallas_resblock=self.use_pallas_resblock,
             attn_layout=self.attn_layout, name="unet",
         )
-        self.g1_fc1 = nn.Dense(self.g_emb, use_bias=False, dtype=self.dtype, name="g1_fc1")
-        self.g1_fc2 = nn.Dense(self.g_out, use_bias=False, dtype=self.dtype, name="g1_fc2")
+        # Torch-matched kernel init (reference heads are plain nn.Linear,
+        # models/global_local_cl.py:29-47) — see unet._torch_kernel_init.
+        self.g1_fc1 = Dense(self.g_emb, use_bias=False, dtype=self.dtype, name="g1_fc1")
+        self.g1_fc2 = Dense(self.g_out, use_bias=False, dtype=self.dtype, name="g1_fc2")
 
     def __call__(self, x: Array) -> Array:
         x, _, _ = self.unet.encode(x, None)
@@ -88,9 +90,11 @@ class LocalCL(nn.Module):
         )
         dims = [self.dim] + [self.dim * m for m in self.dim_mults]
         mid_dim = dims[-self.l - 1]
-        self.g2_conv1 = nn.Conv(mid_dim, (1, 1), use_bias=False, dtype=self.dtype, name="g2_conv1")
+        # Torch-matched kernel init (reference: nn.Conv2d defaults,
+        # models/global_local_cl.py:62-66) — see unet._torch_kernel_init.
+        self.g2_conv1 = Conv(mid_dim, (1, 1), use_bias=False, dtype=self.dtype, name="g2_conv1")
         self.g2_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name="g2_bn")
-        self.g2_conv2 = nn.Conv(mid_dim, (1, 1), use_bias=False, dtype=self.dtype, name="g2_conv2")
+        self.g2_conv2 = Conv(mid_dim, (1, 1), use_bias=False, dtype=self.dtype, name="g2_conv2")
 
     def __call__(self, x: Array, train: bool = False) -> Array:
         x, r, hs = self.unet.encode(x, None)

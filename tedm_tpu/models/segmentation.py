@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from tedm_tpu.models.diffusion import normalize_to_neg_one_to_one, q_sample
+from tedm_tpu.models.unet import Conv, _torch_kernel_init
 from tedm_tpu.ops.resize import nearest_resize
 from tedm_tpu.ops.schedules import DiffusionSchedule
 
@@ -100,9 +101,16 @@ class PixelClassifier(nn.Module):
         per_step = sum(self.stage_channels)
         c_in = per_step * self.n_steps
         h1 = self.hidden[0]
+        # Torch-matched init (kaiming_uniform(a=sqrt(5)) == uniform with
+        # variance 1/(3*fan_in), reference torch Conv2d defaults in
+        # models/datasetDM_model.py:57-64). The heads are exactly the
+        # models trained at n in {1,3}; the UNet measurement (round 2:
+        # lecun_normal's 3x variance cost 0.937-vs-0.995 n=1 Dice) applies
+        # with the same force here. fan_in of a 1x1 conv = c_in, which is
+        # what variance_scaling("fan_in") derives from the (c_in, h1) shape.
         w1 = self.param(
             "conv1_kernel",
-            nn.initializers.lecun_normal(),
+            _torch_kernel_init,
             (c_in, h1),
             jnp.float32,
         )
@@ -129,13 +137,13 @@ class PixelClassifier(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, name="bn1",
         )(x)
-        x = nn.Conv(self.hidden[1], (1, 1), dtype=self.dtype, name="conv2")(x)
+        x = Conv(self.hidden[1], (1, 1), dtype=self.dtype, name="conv2")(x)
         x = nn.relu(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, name="bn2",
         )(x)
-        return nn.Conv(self.out_channels, (1, 1), dtype=jnp.float32, name="conv3")(x)
+        return Conv(self.out_channels, (1, 1), dtype=jnp.float32, name="conv3")(x)
 
 
 class LinearProbe(nn.Module):
@@ -158,8 +166,10 @@ class LinearProbe(nn.Module):
     def __call__(self, feats: List[Array]) -> Array:
         per_step = sum(self.stage_channels)
         c_in = per_step * self.n_steps
+        # Torch-matched init, same rationale as PixelClassifier (reference
+        # probe: torch Conv2d default, trainers/datasetDM_per_step.py:26).
         w = self.param(
-            "kernel", nn.initializers.lecun_normal(), (c_in, self.out_channels), jnp.float32
+            "kernel", _torch_kernel_init, (c_in, self.out_channels), jnp.float32
         )
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
         mean = self.variable("stats", "mean", lambda: jnp.zeros((c_in,), jnp.float32))

@@ -75,3 +75,27 @@ def test_cl_models_shapes():
     out = l.apply(lv, x, train=False)
     # one up stage from 16² mid -> 32², channels = dims[-2] = 8
     assert out.shape == (2, 32, 32, 8)
+
+
+def test_cl_heads_torch_matched_init():
+    """CL heads (g1 MLP, g2 convs) must ship the torch-default kernel init
+    (uniform, variance 1/(3*fan_in)) like the UNet — reference heads are
+    plain nn.Linear/nn.Conv2d (models/global_local_cl.py:29-66); round 2
+    measured flax's lecun_normal 3x variance harmful at low n."""
+    g = GlobalCL(img_size=32, dim=8, dim_mults=(1, 2), channels=1)
+    gv = g.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 1)))
+    for name in ("g1_fc1", "g1_fc2"):
+        w = np.asarray(gv["params"][name]["kernel"])
+        fi = w.shape[0]
+        b = np.sqrt(1.0 / fi)
+        assert np.abs(w).max() <= b + 1e-6, name
+        np.testing.assert_allclose(w.var(), 1.0 / (3.0 * fi), rtol=0.15, err_msg=name)
+
+    l = LocalCL(img_size=32, dim=8, dim_mults=(1, 2), channels=1, l=1)
+    lv = l.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 1)), train=False)
+    for name in ("g2_conv1", "g2_conv2"):
+        w = np.asarray(lv["params"][name]["kernel"])
+        fi = int(np.prod(w.shape[:-1]))
+        b = np.sqrt(1.0 / fi)
+        assert np.abs(w).max() <= b + 1e-6, name
+        np.testing.assert_allclose(w.var(), 1.0 / (3.0 * fi), rtol=0.5, err_msg=name)
