@@ -143,17 +143,31 @@ def main(argv=None) -> None:
 
     # ---- fused PreNorm linear-attention block (default-on), fwd + VJP --
     from tedm_tpu.ops.pallas.attn_block import (
+        fits_vmem as attn_fits_vmem,
         prenorm_linear_attention, prenorm_linear_attention_reference,
     )
 
+    # The 256² UNet's widest stage (N=65536) must be gated OUT by the VMEM
+    # fit guard (its slab chain is ~300 MB); running it through the gate
+    # would vacuously compare the XLA fallback to itself.
+    assert not attn_fits_vmem(65536, 64), \
+        "attn_block fits_vmem no longer excludes the 256² widest stage"
+
     # fp32 at the two smaller stages (fp32 slabs at N=16k exceed VMEM — the
     # UNet gates the fused kernel to bf16 on TPU for exactly that reason);
-    # bf16 at the production 128² stage with compute-dtype tolerance.
+    # bf16 at the production 128² stage with compute-dtype tolerance, plus
+    # the 256² second stage (N=16384, C=128 — the widest shape the VMEM
+    # guard admits at 256²).
     for (b, n, c, dt, tf) in [
         (2, 4096, 128, jnp.float32, tol_fwd),
         (2, 1024, 256, jnp.float32, tol_fwd),
         (2, 16384, 64, jnp.bfloat16, 5e-2),
+        (2, 16384, 128, jnp.bfloat16, 5e-2),
     ]:
+        # Guard against a vacuous pass (see resblock below): the gate shape
+        # must actually take the fused path.
+        assert attn_fits_vmem(n, c), \
+            f"attn_block gate shape N={n},C={c} no longer fits VMEM"
         ks = jax.random.split(rng, 8)
         rng = ks[7]
         x = jax.random.normal(ks[0], (b, n, c), jnp.float32).astype(dt)
@@ -194,7 +208,7 @@ def main(argv=None) -> None:
 
     # ---- fused ResnetBlock (conv3x3+GN+FiLM+SiLU x2 + residual) --------
     from tedm_tpu.ops.pallas.resblock import (
-        fused_resnet_block, resnet_block_reference,
+        fused_resnet_block, resnet_block_reference, uses_fused_kernel,
     )
 
     # one shape per UNet stage family: high-res small-C, mid, deep big-C;
@@ -224,9 +238,16 @@ def main(argv=None) -> None:
         else:
             wres = bres = None
 
+        # Guard against a vacuous pass: if the shape is gated out (e.g. a
+        # tighter fits_vmem), fused_resnet_block would silently run the XLA
+        # reference against itself and report ~0 error.
+        if not uses_fused_kernel(hh, ww, cin, cout, dt, min_c=0):
+            raise AssertionError(
+                f"resblock gate shape {hh}x{ww} {cin}->{cout} no longer "
+                "takes the fused path — gate would be vacuous")
         fk = jax.jit(lambda x, s, sh: fused_resnet_block(
             x, w1, b1, g1, be1, s, sh, w2, b2, g2, be2, wres, bres,
-            interpret=False))
+            interpret=False, min_c=0))
         fr = jax.jit(lambda x, s, sh: resnet_block_reference(
             x, w1, b1, g1, be1, s, sh, w2, b2, g2, be2, wres, bres))
         fwd_err = _maxabs(fk(x, scale, shift), fr(x, scale, shift))

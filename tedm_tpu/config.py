@@ -138,6 +138,7 @@ class Config:
     mesh_shape: Tuple[int, ...] = ()      # () = all local devices on one 'data' axis
     mesh_axes: Tuple[str, ...] = ("data",)
     param_sharding: str = "replicated"    # 'replicated' | 'tp' (shard wide convs over 'model' axis)
+    tp_min_width: int = 256               # TP: only shard kernels with out-channels >= this
     use_pallas: bool = True               # fused Pallas kernels where available (TPU only)
     use_pallas_groupnorm: bool = False    # fused GroupNorm+FiLM+SiLU kernel (opt-in:
                                           # measured slower at 128² — see docs/DESIGN.md)
@@ -324,6 +325,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_axes", nargs="*", type=str, default=["data"])
     p.add_argument("--param_sharding", type=str, default=defaults.param_sharding,
                    choices=["replicated", "tp"])
+    p.add_argument("--tp_min_width", type=int, default=defaults.tp_min_width,
+                   help="TP: only shard kernels whose out-channel dim is >= this")
     p.add_argument("--no_pallas", action="store_true", help="disable Pallas kernels")
     p.add_argument("--use_pallas_groupnorm", action="store_true",
                    help="fused GroupNorm+FiLM+SiLU kernel (opt-in; re-measure per shape)")

@@ -323,12 +323,27 @@ def _block_bwd(width, groups, eps, has_res, interpret, res, g):
 _block.defvjp(_block_fwd, _block_bwd)
 
 
+def uses_fused_kernel(
+    h: int, w: int, cin: int, cout: int, dtype,
+    *, groups: int = 8, min_c: Optional[int] = None,
+) -> bool:
+    """Whether ``fused_resnet_block`` would take the Pallas path for this
+    shape — the single source of truth for the dispatch decision, so the
+    on-chip kernel gate (scripts/kernel_check.py) can assert the fused path
+    is actually exercised rather than comparing the XLA fallback to itself."""
+    if min_c is None:
+        min_c = int(os.environ.get("TEDM_RESBLOCK_MIN_C", "0"))
+    return (cout % groups == 0 and min(cin, cout) >= min_c
+            and fits_vmem(h, w, cin, cout, dtype))
+
+
 def fused_resnet_block(
     x: Array, w1: Array, b1: Array, g1: Array, be1: Array,
     scale: Optional[Array], shift: Optional[Array],
     w2: Array, b2: Array, g2: Array, be2: Array,
     wres: Optional[Array] = None, bres: Optional[Array] = None,
     *, groups: int = 8, eps: float = 1e-5, interpret: Optional[bool] = None,
+    min_c: Optional[int] = None,
 ) -> Array:
     """Fused conv3x3 → GN+FiLM+SiLU → conv3x3 → GN+SiLU → +res over NHWC.
 
@@ -348,11 +363,11 @@ def fused_resnet_block(
                 bres, groups=groups, eps=eps)
     # Narrow stages starve the MXU in the 9-shifted-matmul decomposition
     # (K = N = 64 at the 128² stage is <=25% lane utilization; XLA's conv
-    # packs those better) — TEDM_RESBLOCK_MIN_C gates the kernel to wide
-    # stages for A/B measurement (scripts/bench_resblock.py).
-    min_c = int(os.environ.get("TEDM_RESBLOCK_MIN_C", "0"))
-    if (cout % groups or min(cin, cout) < min_c
-            or not fits_vmem(h, w, cin, cout, x.dtype)):
+    # packs those better) — min_c gates the kernel to wide stages for A/B
+    # measurement (scripts/bench_resblock.py). Pass it explicitly; the
+    # TEDM_RESBLOCK_MIN_C env fallback is read at TRACE time, so changing
+    # the env after a caller's jit has traced has no effect.
+    if not uses_fused_kernel(h, w, cin, cout, x.dtype, groups=groups, min_c=min_c):
         return resnet_block_reference(
             x, w1, b1, g1, be1, scale, shift, w2, b2, g2, be2, wres, bres,
             groups=groups, eps=eps)

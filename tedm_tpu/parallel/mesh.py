@@ -95,26 +95,40 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
 
 
 def data_parallel_setup(config, batch_size: int):
-    """Trainer-side DP wiring: returns (shard_batch_fn, put_replicated_fn).
+    """Trainer-side DP(+TP) wiring: returns (shard_batch_fn, put_params_fn).
 
     With >1 device and a divisible batch, builds the mesh from
-    config.mesh_shape/mesh_axes (default: all devices on 'data'), shards
-    array leading axes over 'data' and replicates params; otherwise both
-    functions are identity (single chip, or indivisible batch — the
-    divisibility constraint is fundamental to even SPMD sharding)."""
+    config.mesh_shape/mesh_axes (default: all devices on 'data') and shards
+    array leading axes over 'data'. Params/optimizer state go through the
+    second function: replicated by default, or sharded over the 'model'
+    axis when ``config.param_sharding == 'tp'`` (wide out-channel kernels
+    per ``param_shardings``; Adam mu/nu mirror the param tree so the same
+    rule shards them consistently). Otherwise both functions are identity
+    (single chip, or indivisible batch — the divisibility constraint is
+    fundamental to even SPMD sharding)."""
     import jax as _jax
 
+    mode = getattr(config, "param_sharding", "replicated")
     n_dev = _jax.device_count()
     if n_dev <= 1:
         return (lambda x: x), (lambda x: x)
+    mesh = make_mesh(tuple(config.mesh_shape), tuple(config.mesh_axes))
+    if mode == "tp" and "model" not in mesh.axis_names:
+        raise ValueError(
+            "--param_sharding tp needs a 'model' mesh axis, e.g. "
+            "--mesh_shape 4 2 --mesh_axes data model"
+        )
     # batch_size is PER-HOST; the global batch is batch_size*process_count,
-    # so even sharding needs the host batch divisible by the host's devices.
-    local_req = max(1, n_dev // _jax.process_count())
+    # so even sharding needs the host batch divisible by the host's share
+    # of the mesh's 'data' axis (a 2D mesh replicates the batch over
+    # 'model', which demands nothing of the batch size).
+    data_size = mesh.shape.get("data", 1)
+    local_req = max(1, data_size // _jax.process_count())
     if batch_size % local_req != 0:
         print(f"[parallel] host batch {batch_size} not divisible by {local_req} "
-              "local devices; running replicated (adjust --batch_size to shard)")
+              "(per-host share of the 'data' axis); running replicated "
+              "(adjust --batch_size to shard)")
         return (lambda x: x), (lambda x: x)
-    mesh = make_mesh(tuple(config.mesh_shape), tuple(config.mesh_axes))
     b_sh = batch_sharding(mesh)
     r_sh = replicated_sharding(mesh)
 
@@ -139,6 +153,14 @@ def data_parallel_setup(config, batch_size: int):
         return _jax.tree_util.tree_map(put, tree)
 
     def replicate(tree):
+        if mode == "tp":
+            return _jax.device_put(
+                tree,
+                param_shardings(
+                    tree, mesh, mode="tp",
+                    tp_min_width=getattr(config, "tp_min_width", 256),
+                ),
+            )
         return _jax.device_put(tree, r_sh)
 
     return shard, replicate

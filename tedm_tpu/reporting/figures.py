@@ -138,7 +138,13 @@ def _load_inputs(exp_dir: str, dataset: str, n: int) -> np.ndarray:
     from tedm_tpu.config import Config
     from tedm_tpu.eval.harness import build_test_loaders
 
-    cfg = Config.load(os.path.join(exp_dir, "config.txt"))
+    # MetricsLogger only writes config.txt when logging is enabled; the
+    # checkpoint's best/config.json is always written — fall back to it so
+    # debug-mode or hand-assembled experiment dirs still render.
+    cfg_path = os.path.join(exp_dir, "config.txt")
+    if not os.path.exists(cfg_path):
+        cfg_path = os.path.join(exp_dir, "best", "config.json")
+    cfg = Config.load(cfg_path)
     loaders = build_test_loaders(cfg)
     imgs: List[np.ndarray] = []
     for b in loaders[dataset]:

@@ -265,7 +265,9 @@ def train_segmentation(
                 # dt must cover the actual execution of every step in the
                 # window, not just their async dispatch (see
                 # trainers/diffusion.py for the measured failure mode).
-                window_loss = float(np.mean([float(l) for l in train_losses]))
+                # One batched device_get for the whole window (a float()
+                # per element is one tunnel round trip each).
+                window_loss = float(np.mean(jax.device_get(train_losses)))
                 dt = time.time() - t0
                 logs = {
                     "train/loss": window_loss,

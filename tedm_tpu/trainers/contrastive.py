@@ -163,7 +163,7 @@ def _train_cl(config: Config, model, variables, loss_of, grad_mask=None) -> None
             train_losses.append(loss)  # device scalar: no per-step host sync
 
             if step % config.log_freq == 0 or config.debug:
-                logger.log({"train/loss": float(np.mean([float(l) for l in train_losses]))}, step)
+                logger.log({"train/loss": float(np.mean(jax.device_get(train_losses)))}, step)
                 train_losses = []
 
             if step % config.val_freq == 0 or config.debug:

@@ -211,7 +211,10 @@ def main(config: Config) -> None:
         config.timesteps, config.beta_schedule,
         config.p2_loss_weight_gamma, config.p2_loss_weight_k,
     )
-    tx = optax.adam(config.lr)
+    # Honor --weight_decay like the supervised loop (common.py) does; the
+    # reference diffusion trainer is plain Adam, so the default (0.0) matches.
+    tx = (optax.adamw(config.lr, weight_decay=config.weight_decay)
+          if config.weight_decay else optax.adam(config.lr))
     params = init_params(config, unet, init_rng)
     opt_state = tx.init(params)
     step = 0
@@ -279,7 +282,9 @@ def main(config: Config) -> None:
                 # rate, not execution — async dispatch runs far ahead of
                 # the device, and the device time it excluded reappeared
                 # in nobody's window (the axon tunnel trap, in-product).
-                window_loss = float(np.mean([float(l) for l in train_losses]))
+                # One batched device_get for the whole window (a float()
+                # per element is one tunnel round trip each).
+                window_loss = float(np.mean(jax.device_get(train_losses)))
                 dt = time.time() - t0
                 metrics = {"train/loss": window_loss,
                            "train/imgs_per_sec": imgs / max(dt, 1e-9)}

@@ -18,3 +18,25 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+import pytest  # noqa: E402
+
+# Fast unit tier: `pytest -m quick` (<5 min on this host) — the full suite
+# is >1h, which stops being run; these modules gate every change cheaply.
+_QUICK_MODULES = {
+    "test_schedules",
+    "test_config",
+    "test_metrics",
+    "test_data",
+    "test_make_splits",
+    "test_logging",
+    "test_unet",
+    "test_parallel",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        mod = getattr(item, "module", None)
+        if mod is not None and mod.__name__ in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)

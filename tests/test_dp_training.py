@@ -32,6 +32,29 @@ def test_diffusion_dp_sharded(tmp_path):
     assert len(losses) == 2 and all(l > 0 for l in losses)
 
 
+def test_diffusion_tp_loss_parity(tmp_path):
+    """--param_sharding tp through the real trainer CLI (VERDICT r2 item 2):
+    a ('data','model') 4x2 mesh with wide kernels sharded over 'model' must
+    reproduce the replicated run's losses (same seed, synthetic data) up to
+    reduction-order noise."""
+    common = [
+        "--experiment", "img_only", "--max_steps", "6", "--val_freq", "6",
+        "--log_freq", "2",
+    ] + ARGS
+    train_main(common + ["--log_dir", str(tmp_path / "rep")])
+    l_rep = _train_losses(str(tmp_path / "CXR14" / "rep"))
+
+    train_main(common + [
+        "--log_dir", str(tmp_path / "tp"),
+        "--mesh_shape", "4", "2", "--mesh_axes", "data", "model",
+        "--param_sharding", "tp", "--tp_min_width", "8",
+    ])
+    l_tp = _train_losses(str(tmp_path / "CXR14" / "tp"))
+    assert len(l_rep) == len(l_tp) == 3
+    for a, b in zip(l_rep, l_tp):
+        assert abs(a - b) < 1e-4 * max(abs(a), 1.0), (l_rep, l_tp)
+
+
 def test_baseline_dp_and_resume(tmp_path):
     train_main([
         "--experiment", "baseline", "--n_labelled_images", "24",
