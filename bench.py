@@ -1,7 +1,7 @@
 """Headline benchmark: DDPM reverse-sampling throughput per chip.
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
 Metric: single-image-equivalent UNet reverse steps per second per chip —
 (batch * scan_steps) / elapsed / n_chips — on the full-size backbone
@@ -9,6 +9,19 @@ Metric: single-image-equivalent UNet reverse steps per second per chip —
 reference models/unet_model.py measured in-tree), sampling via the jitted
 ``lax.scan`` ancestral loop with dynamic thresholding
 (tedm_tpu/models/diffusion.py:sample_loop).
+
+Harness: the reps are chained by a DATA DEPENDENCY inside one jit (each
+rep's PRNG key is perturbed by 0*sum(previous output)), so the device
+cannot overlap or dedupe them and the final block_until_ready transitively
+waits for every rep. Through the axon tunnel, independent dispatches +
+one final block measure dispatch rate, not execution (CLAUDE.md "TIMING
+TRAP") — this harness is immune by construction and matches the profiler.
+
+Extra fields (VERDICT r2 #3): "mfu" — model FLOPs utilization, analytic
+HLO flops (jax lowered cost analysis) / elapsed / chip peak;
+"hbm_gbps" — post-optimization bytes-accessed estimate / elapsed (see
+scripts/roofline.py for the derivation and BASELINE.md for the roofline
+discussion). Peaks: TPU v5e = 197 TFLOP/s bf16, 819 GB/s HBM.
 
 Baseline: the PyTorch reference on CPU runs the same UNet forward at
 batch 1 in 849 ms → 1.178 steps/sec (measured in this image from
@@ -21,6 +34,11 @@ import json
 import time
 
 BASELINE_STEPS_PER_SEC = 1.178  # torch-CPU reference UNet fwd, batch 1
+
+# TPU v5e (1 chip) peaks — cloud.google.com/tpu/docs/v5e: 197 TFLOP/s
+# bf16 matmul, 819 GB/s HBM bandwidth.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_HBM_GBPS = 819.0
 
 
 def main() -> None:
@@ -55,26 +73,64 @@ def main() -> None:
     sched = make_schedule(scan_steps, "cosine")
     apply_fn = lambda x, t: unet.apply({"params": params}, x, t)
 
+    reps = 3 if on_tpu else 1
+
     @jax.jit
-    def run(r):
-        return sample_loop(apply_fn, sched, r, (batch, 128, 128, 1))
+    def run_reps(r):
+        # Chain reps through the PRNG key: rep i+1's key depends on rep i's
+        # output, so execution is strictly serialized on device and the
+        # final block waits for all of it (the async-chain tunnel trap
+        # cannot occur). The 0* keeps the sampled keys identical to split().
+        def body(r, _):
+            r, sub = jax.random.split(r)
+            out = sample_loop(apply_fn, sched, sub, (batch, 128, 128, 1))
+            r = r + (out.sum() * 0).astype(r.dtype)
+            return r, out[0, 0, 0, 0]
+        _, lasts = jax.lax.scan(body, r, None, length=reps)
+        return lasts
 
     # Warmup/compile.
-    run(jax.random.PRNGKey(1)).block_until_ready()
-    reps = 3 if on_tpu else 1
+    run_reps(jax.random.PRNGKey(1)).block_until_ready()
     t0 = time.perf_counter()
-    for i in range(reps):
-        out = run(jax.random.PRNGKey(2 + i))
-    out.block_until_ready()
+    run_reps(jax.random.PRNGKey(2)).block_until_ready()
     dt = (time.perf_counter() - t0) / reps
 
     steps_per_sec = batch * scan_steps / dt / max(n_chips, 1)
-    print(json.dumps({
+    result = {
         "metric": "ddpm_sampling_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 2),
         "unit": "unet_reverse_steps/s/chip",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
-    }))
+    }
+
+    if on_tpu:
+        # Analytic model flops from the UNLOWERED HLO (host-side analysis,
+        # no second device compile through the tunnel). This is per full
+        # run (reps * scan_steps UNet steps + posterior math).
+        try:
+            cost = run_reps.lower(jax.random.PRNGKey(2)).cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+            if flops > 0:
+                result["mfu"] = round(flops / reps / dt / V5E_PEAK_BF16_FLOPS, 4)
+        except Exception:
+            pass
+        # Post-optimization bytes/step measured once by scripts/roofline.py
+        # (compiled cost analysis of the same sampling scan); dividing by
+        # the measured dt gives achieved HBM bandwidth for the roofline.
+        try:
+            import os
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "ROOFLINE.json")) as f:
+                roof = json.load(f)
+            bytes_per_run = roof.get("sampling_bytes_per_run")
+            if bytes_per_run:
+                result["hbm_gbps"] = round(bytes_per_run / dt / 1e9, 1)
+        except Exception:
+            pass
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

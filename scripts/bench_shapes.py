@@ -1,0 +1,179 @@
+"""256² scaling point + per-shape kernel-gate measurements (VERDICT r2 #5).
+
+Round-2 calibrated every kernel gate at 128²/batch-8 only. This script
+measures, at --img (default 256), with the honest scan-in-one-jit harness
+(CLAUDE.md timing trap — a final block does NOT transitively wait through
+the axon tunnel for independent dispatches):
+
+  fwd/default    — shipping config (fused attn-block where fits_vmem admits)
+  fwd/no_pallas  — XLA attention everywhere
+  fwd/gn         — + fused GroupNorm kernel (opt-in; predicted to flip at
+                   larger shapes, models/unet.py)
+  fwd/resblock   — + fused ResnetBlock kernel (VMEM guard falls back at
+                   wide stages by design)
+  sample/default — full 1000-step sampling scan, batch 8
+  train/default  — bf16 train step (loss+grad+Adam), batch --train_batch
+
+Appends one JSON line per measurement to BENCH_shapes.jsonl.
+
+    python scripts/bench_shapes.py [--img 256] [--iters 30] [--skip ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+
+def build(img, dtype, **unet_kw):
+    from tedm_tpu.models.unet import Unet
+
+    unet = Unet(dim=64, dim_mults=(1, 2, 4, 8), channels=1, dtype=dtype,
+                **unet_kw)
+    with jax.default_device(jax.devices("cpu")[0]):
+        cpu = unet.clone(use_pallas=False, use_pallas_groupnorm=False,
+                         use_pallas_resblock=False)
+        params = cpu.init(jax.random.PRNGKey(0),
+                          np.zeros((1, img, img, 1), np.float32),
+                          np.zeros((1,), np.int32))["params"]
+    return unet, jax.device_put(params, jax.devices()[0])
+
+
+def bench_fwd(name, img, batch, iters, record, **unet_kw):
+    unet, params = build(img, jnp.bfloat16, **unet_kw)
+    t = jnp.zeros((batch,), jnp.int32)
+
+    @jax.jit
+    def loop(x):
+        def body(c, _):
+            y = unet.apply({"params": params}, c, t)
+            return y.astype(c.dtype), ()
+        y, _ = jax.lax.scan(body, x, None, length=iters)
+        return y
+
+    x = jax.device_put(
+        np.random.RandomState(0).randn(batch, img, img, 1).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    t0 = time.perf_counter()
+    loop(x).block_until_ready()
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    loop(x).block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    record(f"fwd/{name}", img, batch, dt, compile_s)
+
+
+def bench_sampling(img, batch, steps, record):
+    from tedm_tpu.models.diffusion import sample_loop
+    from tedm_tpu.ops.schedules import make_schedule
+
+    unet, params = build(img, jnp.bfloat16, use_pallas=True)
+    sched = make_schedule(steps, "cosine")
+    apply_fn = lambda x, t: unet.apply({"params": params}, x, t)
+
+    @jax.jit
+    def run(r):
+        return sample_loop(apply_fn, sched, r, (batch, img, img, 1))
+
+    t0 = time.perf_counter()
+    run(jax.random.PRNGKey(1)).block_until_ready()
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(jax.random.PRNGKey(2)).block_until_ready()
+    dt = (time.perf_counter() - t0) / steps
+    record("sample/default", img, batch, dt, compile_s,
+           steps_per_sec_per_chip=batch * steps / (dt * steps))
+
+
+def bench_train(img, batch, iters, record):
+    import optax
+
+    from tedm_tpu.models.diffusion import train_loss
+    from tedm_tpu.ops.schedules import make_schedule
+
+    unet, params = build(img, jnp.bfloat16, use_pallas=True)
+    sched = make_schedule(1000, "cosine")
+    tx = optax.adam(1e-4)
+    opt_state = jax.device_put(tx.init(params), jax.devices()[0])
+    key = jax.random.PRNGKey(0)
+
+    def loss_fn(p, x, r):
+        return train_loss(
+            lambda xt, t: unet.apply({"params": p}, xt, t), sched, r, x)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run(p, o, x):
+        def body(c, i):
+            p, o = c
+            l, g = jax.value_and_grad(loss_fn)(p, x, jax.random.fold_in(key, i))
+            u, o = tx.update(g, o, p)
+            return (optax.apply_updates(p, u), o), l
+        (p, o), ls = jax.lax.scan(body, (p, o), jnp.arange(iters))
+        return p, o, ls
+
+    x = jax.device_put(
+        np.random.RandomState(0).randn(batch, img, img, 1).astype(np.float32))
+    t0 = time.perf_counter()
+    params, opt_state, ls = run(params, opt_state, x)
+    jax.block_until_ready(ls)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    params, opt_state, ls = run(params, opt_state, x)
+    jax.block_until_ready(ls)
+    dt = (time.perf_counter() - t0) / iters
+    record("train/default", img, batch, dt, compile_s,
+           imgs_per_sec=batch / dt)
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--img", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--train_batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="subset: default no_pallas gn resblock sample train")
+    args = ap.parse_args(argv)
+
+    out_path = os.path.join(REPO, "BENCH_shapes.jsonl")
+
+    def record(name, img, batch, dt, compile_s, **extra):
+        rec = {"name": name, "img": img, "batch": batch,
+               "ms": round(dt * 1e3, 3), "compile_s": round(compile_s, 1),
+               "backend": jax.default_backend(), **{
+                   k: round(v, 2) for k, v in extra.items()}}
+        print(json.dumps(rec), flush=True)
+        with open(out_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    want = lambda k: args.only is None or k in args.only
+    if want("default"):
+        bench_fwd("default", args.img, 8, args.iters, record, use_pallas=True)
+    if want("no_pallas"):
+        bench_fwd("no_pallas", args.img, 8, args.iters, record, use_pallas=False)
+    if want("gn"):
+        bench_fwd("gn", args.img, 8, args.iters, record,
+                  use_pallas=True, use_pallas_groupnorm=True)
+    if want("resblock"):
+        bench_fwd("resblock", args.img, 8, args.iters, record,
+                  use_pallas=True, use_pallas_resblock=True)
+    if want("sample"):
+        bench_sampling(args.img, 8, args.steps, record)
+    if want("train"):
+        bench_train(args.img, args.train_batch, 20, record)
+
+
+if __name__ == "__main__":
+    main()

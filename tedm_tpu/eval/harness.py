@@ -121,6 +121,18 @@ def build_test_loaders(
     return out
 
 
+def eval_parallel_setup(config: Config):
+    """(shard_batch_fn, put_params_fn) for evaluation — the SAME config-
+    driven mesh wiring the trainers use (parallel.data_parallel_setup), so
+    predict paths use every visible device instead of one (VERDICT r2 #7:
+    conditional eval runs 5 full reverse scans per batch — on an 8-chip
+    mesh the batch shards over 'data' and each chip samples its slice).
+    Identity on a single device or an indivisible batch."""
+    from tedm_tpu.parallel import data_parallel_setup
+
+    return data_parallel_setup(config, config.batch_size)
+
+
 def load_diffusion_experiment(exp_dir: str):
     """Restore a diffusion checkpoint (img_only/joint/conditional) as
     (config, params, unet, schedule)."""
@@ -170,20 +182,26 @@ def make_conditional_sampler(config, unet, sched):
 
 
 def predict_conditional_dataset(
-    config, params, unet, sched, loader, rng, n_runs: int = 5, run_once=None
+    config, params, unet, sched, loader, rng, n_runs: int = 5, run_once=None,
+    shard=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """The reference's most expensive inference path (run_tests.py:121-137):
     per batch, ``n_runs`` independent full reverse-sampling trajectories of
     the segmentation conditioned on the image, averaged. Here each run is
     one jitted lax.scan instead of 1000 Python-level kernel launches. Pass
     a prebuilt ``run_once`` (make_conditional_sampler) when evaluating
-    several datasets."""
+    several datasets, and ``shard`` (eval_parallel_setup) to spread the
+    batch over the mesh's 'data' axis — params must then be placed with
+    the matching put_params_fn."""
     if run_once is None:
         run_once = make_conditional_sampler(config, unet, sched)
 
     y_hats, y_stars = [], []
     for batch in loader:
-        cond = jnp.asarray(batch["image"], jnp.float32) * 2.0 - 1.0
+        img = batch["image"]
+        if shard is not None:
+            img = shard({"image": img})["image"]
+        cond = jnp.asarray(img, jnp.float32) * 2.0 - 1.0
         runs = []
         for _ in range(n_runs):
             rng, sub = jax.random.split(rng)
@@ -208,17 +226,23 @@ def make_predict_fn(task):
 
 
 def predict_dataset(
-    task, state, loader, rng, fold: int = 1, fwd=None
+    task, state, loader, rng, fold: int = 1, fwd=None, shard=None
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Sigmoid predictions over a loader. Returns (y_hat, y_star) with
-    y_hat (fold*N, H, W, C) folded step-major when fold > 1."""
+    y_hat (fold*N, H, W, C) folded step-major when fold > 1. ``shard``
+    (eval_parallel_setup) spreads the batch over the mesh's 'data' axis;
+    state params/batch_stats must then be placed with the matching
+    put_params_fn."""
     if fwd is None:
         fwd = make_predict_fn(task)
 
     y_hats, y_stars = [], []
     for batch in loader:
         rng, sub = jax.random.split(rng)
-        pred = np.asarray(fwd(state["params"], state["batch_stats"], batch["image"], sub))
+        img = batch["image"]
+        if shard is not None:
+            img = shard({"image": img})["image"]
+        pred = np.asarray(fwd(state["params"], state["batch_stats"], img, sub))
         nvalid = int(batch["valid"].sum())
         B = len(batch["valid"])
         if fold > 1:

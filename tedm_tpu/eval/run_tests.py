@@ -53,6 +53,8 @@ def evaluate_experiment(
 
     config = load_config(os.path.join(exp_dir, "best"))
     conditional = config.experiment == "conditional"
+    from tedm_tpu.eval.harness import eval_parallel_setup
+
     if conditional:
         from tedm_tpu.eval.harness import (
             load_diffusion_experiment,
@@ -61,11 +63,18 @@ def evaluate_experiment(
         )
 
         config, params, unet, sched = load_diffusion_experiment(exp_dir)
+        # shard eval batches over the mesh 'data' axis; params replicated
+        # (or TP-sharded) by the same config-driven rule the trainers use
+        shard, put_params = eval_parallel_setup(config)
+        params = put_params(params)
         # build the jitted sampling scan ONCE for all four datasets
         run_once = make_conditional_sampler(config, unet, sched)
         task = state = None
     else:
         config, state, task = load_experiment(exp_dir)
+        shard, put_params = eval_parallel_setup(config)
+        state["params"] = put_params(state["params"])
+        state["batch_stats"] = put_params(state["batch_stats"])
         from tedm_tpu.eval.harness import make_predict_fn
 
         fwd = make_predict_fn(task)
@@ -85,11 +94,12 @@ def evaluate_experiment(
         if conditional:
             # 5 full reverse-sampling runs averaged (run_tests.py:121-137).
             y_hat, y_star = predict_conditional_dataset(
-                config, params, unet, sched, loader, sub, run_once=run_once
+                config, params, unet, sched, loader, sub, run_once=run_once,
+                shard=shard,
             )
         else:
             y_hat, y_star = predict_dataset(
-                task, state, loader, sub, fold=task.fold, fwd=fwd
+                task, state, loader, sub, fold=task.fold, fwd=fwd, shard=shard
             )
             if task.fold > 1:
                 y_hat = y_hat.mean(axis=0)  # ensemble over timesteps (app.py:79)

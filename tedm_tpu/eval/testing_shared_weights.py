@@ -40,8 +40,12 @@ def evaluate_shared_weights(
         raise ValueError(f"Experiment {config.experiment} not recognized "
                          "(expected a shared-weights TEDM checkpoint)")
     t_steps = tuple(config.t_steps_to_save)
-    from tedm_tpu.eval.harness import make_predict_fn
+    from tedm_tpu.eval.harness import eval_parallel_setup, make_predict_fn
 
+    # shard eval batches over the mesh 'data' axis (VERDICT r2 #7)
+    shard, put_params = eval_parallel_setup(config)
+    state["params"] = put_params(state["params"])
+    state["batch_stats"] = put_params(state["batch_stats"])
     fwd = make_predict_fn(task)
     loaders = build_test_loaders(config, nih_path, mon_path)
     rng = jax.random.PRNGKey(config.seed + 778)
@@ -54,7 +58,7 @@ def evaluate_shared_weights(
         print(f"Testing {key} set")
         rng, sub = jax.random.split(rng)
         y_hats, y_star = predict_dataset(
-            task, state, loader, sub, fold=task.fold, fwd=fwd
+            task, state, loader, sub, fold=task.fold, fwd=fwd, shard=shard
         )
         # y_hats: (S, N, H, W, C), step-major like the reference rearrange
         # '(b step) 1 h w -> step b 1 h w' (testing_shared_weights.py:120).

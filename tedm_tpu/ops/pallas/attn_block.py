@@ -238,6 +238,21 @@ def _block_bwd(heads, dim_head, scale, interpret, res, g):
 _block.defvjp(_block_fwd, _block_bwd)
 
 
+def fits_vmem(n: int, c: int, heads: int = 4, dim_head: int = 32) -> bool:
+    """Whether one batch element's slab chain fits the kernel's VMEM budget
+    — the single source of truth for the shape dispatch, so the on-chip
+    kernel gate (scripts/kernel_check.py) can assert the fused path is
+    actually exercised. The estimate counts the dominant fp32 slabs live
+    at the context matmul (x, qkv, and the normalized-q/attn pair):
+    4·N·(2C + 8H) bytes with H = heads·dim_head. Calibration anchor: the
+    128² UNet's widest stage (N=16384, C=64, H=128) demands ~75 MB and
+    compiles under the 100 MB scoped-vmem budget (shipping since round 2);
+    256²'s widest stage (N=65536) demands ~300 MB and must fall back."""
+    hidden = heads * dim_head
+    est = 4 * n * (2 * c + 8 * hidden)
+    return est <= 100 * 1024 * 1024
+
+
 def prenorm_linear_attention(
     x: Array, g_in: Array, w_qkv: Array, w_out: Array, b_out: Array,
     g_out: Array, *, heads: int = 4, dim_head: int = 32,
@@ -247,14 +262,15 @@ def prenorm_linear_attention(
 
     Weights arrive in matmul layout: ``w_qkv`` (C, 3*heads*dim_head),
     ``w_out`` (heads*dim_head, C); gains/bias are (C,). Returns (B, N, C)
-    in the input dtype. On non-TPU backends dispatches to the jnp
-    reference path.
+    in the input dtype. On non-TPU backends — or when the per-element
+    slab chain cannot fit VMEM (``fits_vmem``, e.g. the 256² UNet's
+    widest stage) — dispatches to the jnp reference path.
     """
     if scale is None:
         scale = dim_head ** -0.5
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if interpret:
+    if interpret or not fits_vmem(x.shape[1], x.shape[2], heads, dim_head):
         return prenorm_linear_attention_reference(
             x, g_in, w_qkv, w_out, b_out, g_out,
             heads=heads, dim_head=dim_head, scale=scale)

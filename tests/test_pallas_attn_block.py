@@ -107,3 +107,37 @@ def test_bf16_paths_close():
     out_u = unfused.apply({"params": params}, x).astype(jnp.float32)
     out_f = fused.apply({"params": params}, x).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u), atol=0.08, rtol=0.05)
+
+
+def test_vmem_fit_gate():
+    """Per-shape VMEM dispatch (VERDICT r2 #5): the 128² stages fit, the
+    256² widest stage (N=65536) does not and must fall back to the
+    reference path even when the compiled kernel is requested."""
+    from tedm_tpu.ops.pallas.attn_block import (
+        fits_vmem, prenorm_linear_attention, prenorm_linear_attention_reference,
+    )
+
+    # every 128² UNet stage fits (the shipping default since round 2)
+    for n, c in [(16384, 64), (4096, 128), (1024, 256), (256, 512)]:
+        assert fits_vmem(n, c)
+    assert fits_vmem(16384, 128)       # 256²'s second stage: newly admitted
+    assert not fits_vmem(65536, 64)    # 256²'s widest stage: gated out
+
+    # A gated-out shape dispatches to the reference even with
+    # interpret=False — on CPU this would otherwise crash in pallas_call.
+    # (dim_head=512 makes a small-N shape exceed the budget.)
+    b, n, c, hidden = 1, 2048, 64, 4 * 512
+    assert not fits_vmem(n, c, heads=4, dim_head=512)
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x = jax.random.normal(ks[0], (b, n, c), jnp.float32)
+    g_in = 1.0 + 0.1 * jax.random.normal(ks[1], (c,))
+    w_qkv = jax.random.normal(ks[2], (c, 3 * hidden)) * c**-0.5
+    w_out = jax.random.normal(ks[3], (hidden, c)) * hidden**-0.5
+    b_out = 0.1 * jax.random.normal(ks[4], (c,))
+    g_out = 1.0 + 0.1 * jax.random.normal(ks[5], (c,))
+    got = prenorm_linear_attention(
+        x, g_in, w_qkv, w_out, b_out, g_out, heads=4, dim_head=512,
+        interpret=False)
+    ref = prenorm_linear_attention_reference(
+        x, g_in, w_qkv, w_out, b_out, g_out, heads=4, dim_head=512)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
