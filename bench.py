@@ -104,29 +104,24 @@ def main() -> None:
     }
 
     if on_tpu:
-        # Analytic model flops from the UNLOWERED HLO (host-side analysis,
-        # no second device compile through the tunnel). This is per full
-        # run (reps * scan_steps UNet steps + posterior math).
-        try:
-            cost = run_reps.lower(jax.random.PRNGKey(2)).cost_analysis()
-            if isinstance(cost, (list, tuple)):
-                cost = cost[0]
-            flops = float(cost.get("flops", 0.0))
-            if flops > 0:
-                result["mfu"] = round(flops / reps / dt / V5E_PEAK_BF16_FLOPS, 4)
-        except Exception:
-            pass
-        # Post-optimization bytes/step measured once by scripts/roofline.py
-        # (compiled cost analysis of the same sampling scan); dividing by
-        # the measured dt gives achieved HBM bandwidth for the roofline.
+        # Static per-step flops + post-fusion bytes measured once by
+        # scripts/roofline.py (compiled cost analysis of this same sampling
+        # scan; XLA counts the While body once, so both are per-STEP —
+        # see roofline.py measure() docstring). Dividing by THIS run's
+        # measured per-step time gives MFU and achieved HBM bandwidth.
         try:
             import os
             here = os.path.dirname(os.path.abspath(__file__))
             with open(os.path.join(here, "ROOFLINE.json")) as f:
                 roof = json.load(f)
-            bytes_per_run = roof.get("sampling_bytes_per_run")
-            if bytes_per_run:
-                result["hbm_gbps"] = round(bytes_per_run / dt / 1e9, 1)
+            step_s = dt / scan_steps
+            flops_per_step = roof.get("sampling_flops_per_step")
+            if flops_per_step:
+                result["mfu"] = round(
+                    flops_per_step / step_s / V5E_PEAK_BF16_FLOPS, 4)
+            bytes_per_step = roof.get("sampling_bytes_per_step")
+            if bytes_per_step:
+                result["hbm_gbps"] = round(bytes_per_step / step_s / 1e9, 1)
         except Exception:
             pass
 

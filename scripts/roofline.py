@@ -130,7 +130,19 @@ def train_program(batch=16, iters=1):
 
 def measure(name, run, args, per_div):
     """Compile, cost-analyze, and time (honest: the program is one jit whose
-    iterations are chained by data dependency — scan carries)."""
+    iterations are chained by data dependency — scan carries).
+
+    COST-ANALYSIS SEMANTICS (measured on this stack, r3): XLA counts each
+    HLO op ONCE — a While/scan body is NOT multiplied by its trip count.
+    Both programs here are a single scan whose body dominates (setup ops
+    are negligible), so the reported flops/bytes ARE per-iteration values
+    and pair with elapsed/per_div, not elapsed. Sanity anchor: sampling
+    flops came back 475.93e9 == one UNet fwd (474 GFLOP, DESIGN.md) +
+    posterior math, NOT 1000x that. bytes is XLA's post-fusion "bytes
+    accessed" HBM-traffic estimate — an upper bound (it misses some
+    fusion-internal reuse), so hbm_frac slightly above 1.0 reads "at the
+    roof within model error".
+    """
     print(f"== {name} ==", flush=True)
     lowered = run.lower(*args)
     exe = lowered.compile()  # the ONE compile; executed via AOT below
@@ -139,15 +151,24 @@ def measure(name, run, args, per_div):
     t0 = time.perf_counter()
     jax.block_until_ready(exe(*args))
     dt = time.perf_counter() - t0
-    rec = {"elapsed_s": dt, "flops": flops, "bytes": bytes_,
-           "per": per_div, "ms_per_unit": dt / per_div * 1e3}
-    if flops:
-        rec["mfu"] = flops / dt / V5E_PEAK_BF16_FLOPS
-    if bytes_:
-        rec["hbm_gbps"] = bytes_ / dt / 1e9
-        rec["hbm_frac"] = rec["hbm_gbps"] / V5E_PEAK_HBM_GBPS
+    rec = derive(dt, flops, bytes_, per_div)
     for k, v in rec.items():
         print(f"  {k}: {v}")
+    return rec
+
+
+def derive(dt, flops, bytes_, per_div):
+    """Derived roofline fields from raw (elapsed_s, per-ITER flops/bytes)."""
+    unit_s = dt / per_div
+    rec = {"elapsed_s": dt, "flops_per_unit": flops, "bytes_per_unit": bytes_,
+           "per": per_div, "ms_per_unit": unit_s * 1e3}
+    if flops:
+        rec["mfu"] = flops / unit_s / V5E_PEAK_BF16_FLOPS
+        rec["compute_floor_ms"] = flops / V5E_PEAK_BF16_FLOPS * 1e3
+    if bytes_:
+        rec["hbm_gbps"] = bytes_ / unit_s / 1e9
+        rec["hbm_frac"] = rec["hbm_gbps"] / V5E_PEAK_HBM_GBPS
+        rec["bandwidth_floor_ms"] = bytes_ / (V5E_PEAK_HBM_GBPS * 1e9) * 1e3
     return rec
 
 
@@ -168,8 +189,11 @@ def main(argv=None) -> None:
         run, a = sampling_program()
         rec = measure("sampling scan (bf16 b8, 1000 steps)", run, a, 1000)
         out["sampling"] = rec
-        if rec.get("bytes"):
-            out["sampling_bytes_per_run"] = rec["bytes"]
+        # bench.py reads these to derive MFU/hbm_gbps from ITS measured dt
+        if rec.get("bytes_per_unit"):
+            out["sampling_bytes_per_step"] = rec["bytes_per_unit"]
+        if rec.get("flops_per_unit"):
+            out["sampling_flops_per_step"] = rec["flops_per_unit"]
 
     if not args.skip_train:
         run, a = train_program(iters=args.iters)
