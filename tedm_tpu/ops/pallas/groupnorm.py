@@ -107,6 +107,23 @@ def _pick_tile(n: int) -> int:
     return 0
 
 
+# Scoped-VMEM budget for the whole-slab design. Calibrated ON-CHIP (r3):
+# at (B=8, N=65536, C=64) bf16 the compiler reported 64.01 MB of scoped
+# demand for an 8 MB (N, C) slab — 8x the slab bytes (double-buffered
+# bf16 in+out blocks ~4x, plus fp32 tile temporaries the compiler keeps
+# live across the two fori_loop passes ~4x). Gate at 60 MB of modeled
+# demand so the 64 MB vmem_limit_bytes always clears with margin:
+# 128² C=64 (16 MB demand) and every C>=128 stage of a 256² UNet pass;
+# the 256² C=64 stage (64 MB) falls back to the jnp reference instead of
+# failing to compile (it did, by 8 KB, before this guard).
+_GN_VMEM_BUDGET = 60 * 1024 * 1024
+
+
+def gn_fits_vmem(n: int, c: int, itemsize: int) -> bool:
+    """True if the fused kernel's modeled scoped-VMEM demand fits."""
+    return 8 * n * c * itemsize <= _GN_VMEM_BUDGET
+
+
 def _fwd_pallas(x3: Array, gamma: Array, beta: Array, scale: Array,
                 shift: Array, groups: int, eps: float, tile: int,
                 interpret: bool) -> Array:
@@ -267,7 +284,9 @@ def fused_group_norm_film_silu(
         interpret = jax.default_backend() != "tpu"
     if interpret:
         return _reference(x, gamma, beta, scale, shift, groups, eps)
-    if c % groups or _pick_tile(x.shape[1] * x.shape[2]) == 0:
+    n = x.shape[1] * x.shape[2]
+    if (c % groups or _pick_tile(n) == 0
+            or not gn_fits_vmem(n, c, x.dtype.itemsize)):
         return _reference(x, gamma, beta, scale, shift, groups, eps)
     return _gn_film_silu(x, gamma, beta, scale, shift, groups, eps, False)
 

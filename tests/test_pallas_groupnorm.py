@@ -83,6 +83,42 @@ def test_odd_shapes_fall_back_not_crash():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_vmem_fit_guard_calibration():
+    """Pin gn_fits_vmem against the on-chip calibration (r3): at 256²
+    C=64 bf16 the compiler demanded 64.01 MB for the 8 MB slab (8x) and
+    failed the 64 MB limit by 8 KB — that shape MUST fall back; every
+    shape the 128² UNet pass uses, and the C>=128 stages of a 256² pass,
+    MUST stay on the kernel."""
+    from tedm_tpu.ops.pallas.groupnorm import gn_fits_vmem
+
+    # 128² UNet forward stages (N = H*W at each resolution), bf16 + fp32
+    for itemsize in (2, 4):
+        assert gn_fits_vmem(128 * 128, 64, itemsize)
+        assert gn_fits_vmem(64 * 64, 128, itemsize)
+        assert gn_fits_vmem(32 * 32, 256, itemsize)
+        assert gn_fits_vmem(16 * 16, 512, itemsize)
+    # the shape that OOMed scoped vmem on-chip (by 8 KB at a 64 MB limit)
+    assert not gn_fits_vmem(256 * 256, 64, 2)
+    assert not gn_fits_vmem(256 * 256, 64, 4)
+    # 256² C>=128 stages still fit in bf16
+    assert gn_fits_vmem(128 * 128, 128, 2)
+    assert gn_fits_vmem(64 * 64, 256, 2)
+
+
+def test_vmem_guard_dispatches_to_reference():
+    """A gated-out shape must run (via the reference path), not crash at
+    trace time, on any backend."""
+    from tedm_tpu.ops.pallas.groupnorm import gn_fits_vmem
+
+    n_big = 256 * 256
+    assert not gn_fits_vmem(n_big, 64, 2)
+    x = jnp.ones((1, 256, 256, 8), jnp.float32)  # C=8 keeps it cheap
+    g, b = jnp.ones((8,)), jnp.zeros((8,))
+    out = fused_group_norm_film_silu(x, g, b, groups=8)
+    ref = _unfused(x, g, b, None, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_custom_vjp_matches_autodiff():
     """Analytic backward == XLA autodiff of the unfused composition, for
     every input (x, gamma, beta, scale, shift)."""
