@@ -33,17 +33,22 @@ def make_mesh(
     """Build a named device mesh.
 
     With the default empty ``mesh_shape``, all devices form one ``data``
-    axis. A 2D example: ``make_mesh((4, 2), ("data", "model"))``.
+    axis. A 2D example: ``make_mesh((4, 2), ("data", "model"))``. An
+    explicit shape smaller than the device count uses the first
+    prod(shape) devices (a user asking for a (1, 2) mesh on an 8-device
+    host gets exactly that mesh); asking for MORE devices than exist is
+    still an error.
     """
     devices = list(devices if devices is not None else jax.devices())
     if not mesh_shape:
         mesh_shape = (len(devices),)
         mesh_axes = tuple(mesh_axes[:1]) or ("data",)
     n = int(np.prod(mesh_shape))
-    if n != len(devices):
+    if n > len(devices):
         raise ValueError(
             f"mesh_shape {tuple(mesh_shape)} needs {n} devices, have {len(devices)}"
         )
+    devices = devices[:n]
     dev_array = np.array(devices).reshape(mesh_shape)
     return Mesh(dev_array, tuple(mesh_axes))
 
