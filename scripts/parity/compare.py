@@ -57,7 +57,7 @@ def main(argv=None) -> None:
     rows = sorted(set(ref["experiments"]) | set(tpu["experiments"]))
     header = "| experiment | dataset | torch reference | tedm_tpu | Δ (abs) |"
     if ported:
-        header = header[:-1] + " tedm_tpu on TORCH-PORTED backbone |"
+        header = header + " tedm_tpu on TORCH-PORTED backbone |"
     lines += [header,
               "|---|---|---|---|---|" + ("---|" if ported else "")]
     worst = 0.0
