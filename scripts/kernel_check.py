@@ -115,10 +115,15 @@ def main(argv=None) -> None:
 
     # ---- fused GroupNorm+FiLM+SiLU (opt-in), fwd + VJP -----------------
     from tedm_tpu.ops.pallas.groupnorm import (
-        fused_group_norm_film_silu, group_norm_film_silu_reference,
+        fused_group_norm_film_silu, gn_fits_vmem,
+        group_norm_film_silu_reference,
     )
 
     for (b, hh, ww, c) in [(4, 32, 32, 128), (2, 16, 16, 512)]:
+        # a gated-out shape would run the reference against itself and
+        # report a vacuous pass — assert the kernel path is actually taken
+        assert gn_fits_vmem(hh * ww, c, 4), \
+            f"gn gate shape {hh}x{ww}x{c} no longer fits VMEM — pick another"
         k1, k2, k3, k4, k5, k6, rng = jax.random.split(rng, 7)
         x = jax.random.normal(k1, (b, hh, ww, c), jnp.float32)
         gamma = jax.random.normal(k2, (c,), jnp.float32)
