@@ -66,7 +66,7 @@ def cost_of(lowered, exe):
     return flops, bytes_
 
 
-def build_model(dtype, use_pallas):
+def build_model(dtype, use_pallas, img=128):
     from tedm_tpu.models.unet import Unet
 
     unet = Unet(dim=64, dim_mults=(1, 2, 4, 8), channels=1,
@@ -74,23 +74,24 @@ def build_model(dtype, use_pallas):
     with jax.default_device(jax.devices("cpu")[0]):
         cpu_unet = unet.clone(use_pallas=False)
         params = cpu_unet.init(
-            jax.random.PRNGKey(0), np.zeros((1, 128, 128, 1), np.float32),
+            jax.random.PRNGKey(0), np.zeros((1, img, img, 1), np.float32),
             np.zeros((1,), np.int32))["params"]
     return unet, jax.device_put(params, jax.devices()[0])
 
 
-def sampling_program(batch=8, steps=1000):
+def sampling_program(batch=8, steps=1000, img=128):
     from tedm_tpu.models.diffusion import sample_loop
     from tedm_tpu.ops.schedules import make_schedule
 
     on_tpu = jax.default_backend() == "tpu"
-    unet, params = build_model(jnp.bfloat16 if on_tpu else jnp.float32, on_tpu)
+    unet, params = build_model(jnp.bfloat16 if on_tpu else jnp.float32, on_tpu,
+                               img=img)
     sched = make_schedule(steps, "cosine")
     apply_fn = lambda x, t: unet.apply({"params": params}, x, t)
 
     @jax.jit
     def run(r):
-        return sample_loop(apply_fn, sched, r, (batch, 128, 128, 1))
+        return sample_loop(apply_fn, sched, r, (batch, img, img, 1))
 
     return run, (jax.random.PRNGKey(0),)
 
@@ -178,6 +179,8 @@ def main(argv=None) -> None:
     ap.add_argument("--skip_sampling", action="store_true")
     ap.add_argument("--iters", type=int, default=20,
                     help="train-step scan length")
+    ap.add_argument("--img", type=int, default=128)
+    ap.add_argument("--out", type=str, default="ROOFLINE.json")
     args = ap.parse_args(argv)
 
     out = {"backend": jax.default_backend(),
@@ -185,9 +188,11 @@ def main(argv=None) -> None:
            "peaks": {"bf16_tflops": V5E_PEAK_BF16_FLOPS / 1e12,
                      "hbm_gbps": V5E_PEAK_HBM_GBPS}}
 
+    out["img"] = args.img
     if not args.skip_sampling:
-        run, a = sampling_program()
-        rec = measure("sampling scan (bf16 b8, 1000 steps)", run, a, 1000)
+        run, a = sampling_program(img=args.img)
+        rec = measure(f"sampling scan (bf16 b8 {args.img}^2, 1000 steps)",
+                      run, a, 1000)
         out["sampling"] = rec
         # bench.py reads these to derive MFU/hbm_gbps from ITS measured dt
         if rec.get("bytes_per_unit"):
@@ -201,7 +206,7 @@ def main(argv=None) -> None:
                       args.iters)
         out["train"] = rec
 
-    path = os.path.join(REPO, "ROOFLINE.json")
+    path = os.path.join(REPO, args.out)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(f"wrote {path}")
