@@ -114,6 +114,11 @@ def main() -> None:
             here = os.path.dirname(os.path.abspath(__file__))
             with open(os.path.join(here, "ROOFLINE.json")) as f:
                 roof = json.load(f)
+            # per-step flops/bytes are shape-specific: refuse a roofline
+            # recorded at another resolution (scripts/roofline.py writes
+            # non-128 shapes to ROOFLINE_<img>.json, but be defensive)
+            if roof.get("img", 128) != 128:
+                raise ValueError("ROOFLINE.json is not the 128^2 shape")
             step_s = dt / scan_steps
             flops_per_step = roof.get("sampling_flops_per_step")
             if flops_per_step:

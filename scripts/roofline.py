@@ -180,8 +180,15 @@ def main(argv=None) -> None:
     ap.add_argument("--iters", type=int, default=20,
                     help="train-step scan length")
     ap.add_argument("--img", type=int, default=128)
-    ap.add_argument("--out", type=str, default="ROOFLINE.json")
+    ap.add_argument("--out", type=str, default=None,
+                    help="default: ROOFLINE.json at 128, ROOFLINE_<img>.json "
+                    "otherwise (bench.py derives MFU from ROOFLINE.json and "
+                    "assumes its 128^2 shape — never overwrite it with "
+                    "another shape's per-step flops/bytes)")
     args = ap.parse_args(argv)
+    if args.out is None:
+        args.out = ("ROOFLINE.json" if args.img == 128
+                    else f"ROOFLINE_{args.img}.json")
 
     out = {"backend": jax.default_backend(),
            "device": str(jax.devices()[0]),

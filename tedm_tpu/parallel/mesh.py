@@ -48,6 +48,15 @@ def make_mesh(
         raise ValueError(
             f"mesh_shape {tuple(mesh_shape)} needs {n} devices, have {len(devices)}"
         )
+    if n < len(devices) and jax.process_count() > 1:
+        # Multi-host: silently slicing would build a mesh containing only
+        # the coordinator's devices and fail deep inside GSPMD collectives
+        # on the other processes — keep the loud, immediate error there.
+        raise ValueError(
+            f"mesh_shape {tuple(mesh_shape)} uses {n} of {len(devices)} "
+            "global devices; in a multi-process run the mesh must cover "
+            "every device (subset meshes are single-process only)"
+        )
     devices = devices[:n]
     dev_array = np.array(devices).reshape(mesh_shape)
     return Mesh(dev_array, tuple(mesh_axes))
