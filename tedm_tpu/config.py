@@ -109,6 +109,11 @@ class Config:
     batch_size: int = 16
     lr: float = 1e-4
     weight_decay: float = 0.0
+    ema_decay: float = 0.0         # >0: keep an EMA of the diffusion backbone
+                                   # params (updated inside the jitted step);
+                                   # validation/sampling and downstream
+                                   # feature extraction use the EMA weights.
+                                   # 0 = reference-faithful (no averaging)
     max_steps: int = 500_000
     p2_loss_weight_gamma: float = 0.0
     p2_loss_weight_k: float = 1.0
@@ -302,6 +307,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=defaults.batch_size)
     p.add_argument("--lr", type=float, default=defaults.lr)
     p.add_argument("--weight_decay", type=float, default=defaults.weight_decay)
+    p.add_argument("--ema_decay", type=float, default=defaults.ema_decay,
+                   help="EMA decay for diffusion backbone params "
+                        "(e.g. 0.9999; 0 disables)")
     p.add_argument("--max_steps", type=int, default=defaults.max_steps)
     p.add_argument("--p2_loss_weight_gamma", type=float, default=defaults.p2_loss_weight_gamma)
     p.add_argument("--p2_loss_weight_k", type=float, default=defaults.p2_loss_weight_k)

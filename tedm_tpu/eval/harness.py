@@ -145,10 +145,13 @@ def load_diffusion_experiment(exp_dir: str):
     params = D.init_params(config, unet, jax.random.PRNGKey(0))
     template = {"params": params, "opt_state": optax.adam(config.lr).init(params),
                 "step": 0}
+    if config.ema_decay > 0.0:
+        template["ema_params"] = params
     state, _ = load_checkpoint(ckpt, template, config)
     sched = make_schedule(config.timesteps, config.beta_schedule,
                           config.p2_loss_weight_gamma, config.p2_loss_weight_k)
-    return config, state["params"], unet, sched
+    # prefer the EMA weights when the backbone was trained with --ema_decay
+    return config, state.get("ema_params", state["params"]), unet, sched
 
 
 def make_conditional_sampler(config, unet, sched):

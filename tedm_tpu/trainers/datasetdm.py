@@ -62,13 +62,16 @@ def load_backbone(config: Config, rng) -> Tuple[Unet, Any, Any]:
         import optax
 
         opt_template = optax.adam(old.lr).init(template)
+        ckpt_template = {"params": template, "opt_state": opt_template, "step": 0}
+        if old.ema_decay > 0.0:
+            ckpt_template["ema_params"] = template
         state, _ = load_checkpoint(
-            config.saved_diffusion_model,
-            {"params": template, "opt_state": opt_template, "step": 0},
-            config,
+            config.saved_diffusion_model, ckpt_template, config,
         )
         sched = make_schedule(old.timesteps, old.beta_schedule)
-        return unet, state["params"], sched
+        # a backbone trained with --ema_decay serves its EMA weights (the
+        # averaged weights are the ones validation selected on)
+        return unet, state.get("ema_params", state["params"]), sched
     print(
         f"No model found at {config.saved_diffusion_model}. Please load model!"
     )

@@ -125,6 +125,8 @@ def make_steps(config: Config, unet: Unet, sched, tx):
             return out[0], out[1]
         return out, jnp.zeros((1,), jnp.float32)
 
+    ema_decay = float(config.ema_decay)
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, x, cond, valid, rng):
         (loss, ch_losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -132,6 +134,23 @@ def make_steps(config: Config, unet: Unet, sched, tx):
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss, ch_losses
+
+    # EMA variant: the average update rides inside the SAME jitted step
+    # (one fused lerp over the param pytree — ~param-bytes of extra HBM
+    # traffic, <1% of the 55 GB/step measured in ROOFLINE.json; a separate
+    # jit would pay an extra dispatch per step through the axon tunnel).
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step_ema(params, opt_state, ema_params, x, cond, valid, rng):
+        (loss, ch_losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x, cond, valid, rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema_params = jax.tree_util.tree_map(
+            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+            ema_params, params,
+        )
+        return params, opt_state, ema_params, loss, ch_losses
 
     @jax.jit
     def eval_step(params, x, cond, valid, rng):
@@ -159,6 +178,8 @@ def make_steps(config: Config, unet: Unet, sched, tx):
             )
         return unnormalize_to_zero_to_one(jnp.clip(snaps, -1.0, 1.0))
 
+    if ema_decay > 0.0:
+        return train_step_ema, eval_step, sample_grid
     return train_step, eval_step, sample_grid
 
 
@@ -219,10 +240,21 @@ def main(config: Config) -> None:
     opt_state = tx.init(params)
     step = 0
 
+    use_ema = config.ema_decay > 0.0
+    ema_params = None
     if config.resume_path and checkpoint_exists(config.resume_path):
+        from tedm_tpu.utils.checkpoint import load_config
+
+        # the checkpoint's own config decides whether an ema_params subtree
+        # exists in the saved state (load_checkpoint restores into the
+        # template's structure, so the template must match what was saved)
+        old = load_config(config.resume_path)
         state = {"params": params, "opt_state": opt_state, "step": 0}
+        if old.ema_decay > 0.0:
+            state["ema_params"] = params
         state, _ = load_checkpoint(config.resume_path, state, config)
         params, opt_state, step = state["params"], state["opt_state"], int(state["step"])
+        ema_params = state.get("ema_params")
         print(f"Resumed from {config.resume_path} at step {step}")
 
     if config.experiment in ("joint", "conditional", "joint_and_cond"):
@@ -247,6 +279,14 @@ def main(config: Config) -> None:
 
     shard, replicate = data_parallel_setup(config, loaders["train"].batch_size)
     params, opt_state = replicate(params), replicate(opt_state)
+    if use_ema:
+        # fresh copy (not an alias): both pytrees are donated to the jitted
+        # step, and at step 1 ema must start exactly at the live params
+        # (a resumed ema subtree is used as-is)
+        ema_params = (replicate(ema_params) if ema_params is not None
+                      else jax.tree_util.tree_map(jnp.copy, params))
+    else:
+        ema_params = None
 
     from tedm_tpu.utils.interrupt import graceful_shutdown
 
@@ -262,9 +302,15 @@ def main(config: Config) -> None:
                 jax.profiler.start_trace(config.profile_dir)
             x, cond = batch_to_x_cond(config, batch)
             sharded = shard({"x": x, "cond": cond, "valid": batch["valid"]})
-            params, opt_state, loss, ch_losses = train_step(
-                params, opt_state, sharded["x"], sharded["cond"], sharded["valid"], sub
-            )
+            if use_ema:
+                params, opt_state, ema_params, loss, ch_losses = train_step(
+                    params, opt_state, ema_params,
+                    sharded["x"], sharded["cond"], sharded["valid"], sub
+                )
+            else:
+                params, opt_state, loss, ch_losses = train_step(
+                    params, opt_state, sharded["x"], sharded["cond"], sharded["valid"], sub
+                )
             if config.profile_dir and step == 15:
                 jax.block_until_ready(loss)
                 jax.profiler.stop_trace()
@@ -296,31 +342,36 @@ def main(config: Config) -> None:
                 logger.log(metrics, step)
                 train_losses, t0, imgs = [], time.time(), 0
 
+            def full_state():
+                state = {"params": params, "opt_state": opt_state, "step": step}
+                if use_ema:
+                    state["ema_params"] = ema_params
+                return state
+
             if step % config.val_freq == 0 or config.debug:
                 rng, vrng = jax.random.split(rng)
+                # validate (and sample the grid) with the EMA weights when
+                # enabled — those are the weights downstream inference uses
                 vloss = validate(
-                    config, eval_step, sample_grid, params, loaders["val"], vrng, logger, step
+                    config, eval_step, sample_grid,
+                    ema_params if use_ema else params,
+                    loaders["val"], vrng, logger, step
                 )
                 logger.log({"val/loss": vloss}, step)
-                state = {"params": params, "opt_state": opt_state, "step": step}
                 if vloss < best_val_loss and not config.debug:
                     best_val_loss = vloss
-                    save_checkpoint(f"{config.log_dir}/best", state, config)
+                    save_checkpoint(f"{config.log_dir}/best", full_state(), config)
 
             # periodic checkpoints on their OWN cadence, independent of
             # validation boundaries
             if config.ckpt_every and step % config.ckpt_every == 0:
                 save_checkpoint(
-                    f"{config.log_dir}/step_{step}",
-                    {"params": params, "opt_state": opt_state, "step": step},
-                    config,
+                    f"{config.log_dir}/step_{step}", full_state(), config,
                 )
 
             if should_stop():
                 save_checkpoint(
-                    f"{config.log_dir}/interrupted",
-                    {"params": params, "opt_state": opt_state, "step": step},
-                    config,
+                    f"{config.log_dir}/interrupted", full_state(), config,
                 )
                 print(f"[interrupt] saved {config.log_dir}/interrupted at step {step}")
                 break
