@@ -166,6 +166,17 @@ class Config:
 
     # ---------------------------------------------------------------- helpers
 
+    def __post_init__(self) -> None:
+        # ema_decay >= 1.0 would make the EMA lerp a no-op: ema_params would
+        # silently stay at the init weights and every downstream loader
+        # (validation, datasetdm.load_backbone, serving) would serve
+        # untrained weights with no error. Fail fast instead.
+        if not (0.0 <= self.ema_decay < 1.0):
+            raise ValueError(
+                f"ema_decay must be in [0, 1), got {self.ema_decay} "
+                "(>= 1.0 would freeze the EMA at the init weights)"
+            )
+
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)
 

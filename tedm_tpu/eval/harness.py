@@ -143,7 +143,11 @@ def load_diffusion_experiment(exp_dir: str):
     config = load_config(ckpt)
     unet = D.build_model(config)
     params = D.init_params(config, unet, jax.random.PRNGKey(0))
-    template = {"params": params, "opt_state": optax.adam(config.lr).init(params),
+    # mirror the trainer's tx selection (adamw iff weight_decay) — the
+    # chain state structures differ and the restore template must match
+    tx = (optax.adamw(config.lr, weight_decay=config.weight_decay)
+          if config.weight_decay else optax.adam(config.lr))
+    template = {"params": params, "opt_state": tx.init(params),
                 "step": 0}
     if config.ema_decay > 0.0:
         template["ema_params"] = params

@@ -61,7 +61,14 @@ def load_backbone(config: Config, rng) -> Tuple[Unet, Any, Any]:
         # embedded config so the restore structure matches, then discard it.
         import optax
 
-        opt_template = optax.adam(old.lr).init(template)
+        # Mirror the trainer's tx selection (diffusion.py honors
+        # --weight_decay with adamw): adamw's chain state has a different
+        # structure than adam's, and Orbax restores into the template's
+        # shape — an adam template fails on a weight-decay-trained ckpt.
+        opt_template = (
+            optax.adamw(old.lr, weight_decay=old.weight_decay)
+            if old.weight_decay else optax.adam(old.lr)
+        ).init(template)
         ckpt_template = {"params": template, "opt_state": opt_template, "step": 0}
         if old.ema_decay > 0.0:
             ckpt_template["ema_params"] = template

@@ -32,6 +32,7 @@ _QUICK_MODULES = {
     "test_logging",
     "test_unet",
     "test_parallel",
+    "test_quick_smoke",
 }
 
 

@@ -75,3 +75,16 @@ def test_pallas_kernel_flags_reach_config():
     ])
     assert cfg.use_pallas_resblock and cfg.use_pallas_groupnorm
     assert config_from_args(["--experiment", "baseline", "--debug"]).use_pallas_resblock is False
+
+
+def test_ema_decay_validated():
+    """ADVICE r3: ema_decay >= 1.0 silently freezes the EMA at init weights;
+    the config must reject it at construction."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        Config(ema_decay=1.0)
+    with pytest.raises(ValueError):
+        Config(ema_decay=-0.1)
+    assert Config(ema_decay=0.9999).ema_decay == 0.9999
+    assert Config(ema_decay=0.0).ema_decay == 0.0
