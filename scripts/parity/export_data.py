@@ -59,7 +59,7 @@ def _split_lungs(mask: np.ndarray) -> tuple:
     return right, left  # ('right lung', 'left lung') column order
 
 
-def export_jsrt(root: str, img_size: int, seed: int) -> None:
+def export_jsrt(root: str, img_size: int, seed: int, hard: bool = False) -> None:
     import pandas as pd
 
     base = os.path.join(root, "JSRT")
@@ -67,7 +67,7 @@ def export_jsrt(root: str, img_size: int, seed: int) -> None:
     for lab in ("right lung", "left lung"):
         os.makedirs(os.path.join(base, "SCR", "masks", lab), exist_ok=True)
     for split, n in (("train", 197), ("val", 25), ("test", 25)):
-        ds = SyntheticCXRDataset(split, n, img_size, labelled=True, seed=seed)
+        ds = SyntheticCXRDataset(split, n, img_size, labelled=True, seed=seed, hard=hard)
         rows = []
         for i in range(n):
             img, mask = ds[i]
@@ -83,12 +83,12 @@ def export_jsrt(root: str, img_size: int, seed: int) -> None:
         print(f"JSRT {split}: {n} images")
 
 
-def export_cxr14(root: str, img_size: int, seed: int, n: int) -> None:
+def export_cxr14(root: str, img_size: int, seed: int, n: int, hard: bool = False) -> None:
     import pandas as pd
 
     base = os.path.join(root, "CXR14")
     os.makedirs(base, exist_ok=True)
-    ds = SyntheticCXRDataset("cxr_train", n, img_size, labelled=False, seed=seed)
+    ds = SyntheticCXRDataset("cxr_train", n, img_size, labelled=False, seed=seed, hard=hard)
     rows = []
     for i in range(n):
         name = f"cxr_{i:05d}.png"
@@ -98,14 +98,14 @@ def export_cxr14(root: str, img_size: int, seed: int, n: int) -> None:
     print(f"CXR14: {n} images")
 
 
-def export_crossdomain(root: str, img_size: int, seed: int) -> None:
+def export_crossdomain(root: str, img_size: int, seed: int, hard: bool = False) -> None:
     import pandas as pd
 
     # NIH: single merged-mask files (reference csv cols scan, mask)
     base = os.path.join(root, "NIH")
     os.makedirs(os.path.join(base, "scans"), exist_ok=True)
     os.makedirs(os.path.join(base, "masks"), exist_ok=True)
-    ds = SyntheticCXRDataset("nih", 100, img_size, labelled=True, seed=seed)
+    ds = SyntheticCXRDataset("nih", 100, img_size, labelled=True, seed=seed, hard=hard)
     rows = []
     for i in range(100):
         img, mask = ds[i]
@@ -122,7 +122,7 @@ def export_crossdomain(root: str, img_size: int, seed: int) -> None:
     os.makedirs(os.path.join(base, "scans"), exist_ok=True)
     for lab in ("right", "left"):
         os.makedirs(os.path.join(base, "masks", lab), exist_ok=True)
-    ds = SyntheticCXRDataset("montgomery", 100, img_size, labelled=True, seed=seed)
+    ds = SyntheticCXRDataset("montgomery", 100, img_size, labelled=True, seed=seed, hard=hard)
     rows = []
     for i in range(100):
         img, mask = ds[i]
@@ -147,11 +147,15 @@ def main(argv=None) -> None:
     ap.add_argument("--img_size", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--n_cxr", type=int, default=512)
+    ap.add_argument("--hard", action="store_true",
+                    help="HARD corpus (VERDICT r3 #2): weak contrast, soft\n"
+                         "boundaries, bias fields, occluders -- baseline\n"
+                         "can no longer ceiling at n=1")
     args = ap.parse_args(argv)
     os.makedirs(os.path.join(args.root, "data"), exist_ok=True)
-    export_jsrt(args.root, args.img_size, args.seed)
-    export_cxr14(args.root, args.img_size, args.seed, args.n_cxr)
-    export_crossdomain(args.root, args.img_size, args.seed)
+    export_jsrt(args.root, args.img_size, args.seed, hard=args.hard)
+    export_cxr14(args.root, args.img_size, args.seed, args.n_cxr, hard=args.hard)
+    export_crossdomain(args.root, args.img_size, args.seed, hard=args.hard)
     print(f"exported to {args.root}")
 
 

@@ -241,6 +241,21 @@ def main(argv=None) -> None:
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip_backbone", action="store_true")
+    ap.add_argument("--backbone_ckpt", type=str, default=None,
+                    help="reuse this trained backbone best_model.pt "
+                         "(default: <out>/CXR14/run/best_model.pt)")
+    ap.add_argument("--skip_baseline", action="store_true")
+    ap.add_argument("--skip_tedm", action="store_true")
+    ap.add_argument("--normalize_extract", action="store_true",
+                    help="mechanism flip (RESULTS_parity.md): normalize x to "
+                         "[-1,1] before the reference's feature extraction. "
+                         "The reference's DatasetDM.extract_features calls "
+                         "forward_diffusion_model directly "
+                         "(models/datasetDM_model.py:77), bypassing the "
+                         "normalize that DiffusionModel.forward applies to "
+                         "every training input (diffusion_model.py:169) — "
+                         "the frozen backbone sees [0,1] inputs it never "
+                         "trained on. This flag is the ONLY change vs stock.")
     args = ap.parse_args(argv)
 
     sys.path.insert(0, REFERENCE)
@@ -277,10 +292,28 @@ def main(argv=None) -> None:
     # Patch 3: log_dir str/Path mixing
     tc.Path = StrPath
 
+    if args.normalize_extract:
+        # The mechanism flip: everything identical to the stock run except
+        # x_0 is normalized to [-1,1] before q_sample in extract_features,
+        # matching what the frozen backbone saw in training. Applied to the
+        # CLASS, so head training (td.main -> DatasetDM.forward) and eval
+        # (evaluate() below) both use it.
+        import models.datasetDM_model as ref_dm
+
+        _orig_extract = ref_dm.DatasetDM.extract_features
+
+        def _normalized_extract(self, x_0, noise=None):
+            return _orig_extract(self, x_0 * 2.0 - 1.0, noise=noise)
+
+        ref_dm.DatasetDM.extract_features = _normalized_extract
+        print("[normalize_extract] extract_features now normalizes x_0 to [-1,1]")
+
     summary = {"img_size": args.img_size, "backbone_steps": args.backbone_steps,
                "head_steps": args.head_steps, "framework": "torch-reference",
+               "normalize_extract": bool(args.normalize_extract),
                "experiments": {}}
-    backbone_ckpt = os.path.join(args.out, "CXR14", "run", "best_model.pt")
+    backbone_ckpt = args.backbone_ckpt or os.path.join(
+        args.out, "CXR14", "run", "best_model.pt")
 
     if not args.skip_backbone and not os.path.exists(backbone_ckpt):
         print("=== reference backbone (train_CXR14) ===")
@@ -296,7 +329,7 @@ def main(argv=None) -> None:
         )
         tc.main(cfg)
 
-    for n in args.sizes:
+    for n in args.sizes if not args.skip_baseline else []:
         print(f"=== reference baseline n={n} ===")
         logdir = StrPath(os.path.join(args.out, "baseline", str(n)))
         cfg = make_config(
@@ -317,7 +350,7 @@ def main(argv=None) -> None:
         with open(os.path.join(args.out, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
 
-    for n in args.sizes:
+    for n in args.sizes if not args.skip_tedm else []:
         print(f"=== reference TEDM n={n} ===")
         logdir = StrPath(os.path.join(args.out, "TEDM", str(n)))
         cfg = make_config(

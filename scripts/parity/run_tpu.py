@@ -59,6 +59,10 @@ def main(argv=None) -> None:
     ap.add_argument("--backbone_dir", type=str, default=None,
                     help="use this backbone checkpoint dir "
                          "(e.g. the torch-ported one from port_backbone.py)")
+    ap.add_argument("--extract_unnormalized", action="store_true",
+                    help="mechanism flip (RESULTS_parity.md): train/eval the "
+                         "TEDM head with the reference's unnormalized feature "
+                         "extraction (--extract_unnormalized in the CLI)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -97,6 +101,7 @@ def main(argv=None) -> None:
 
     summary = {"img_size": args.img_size, "backbone_steps": args.backbone_steps,
                "head_steps": args.head_steps, "framework": "tedm_tpu",
+               "extract_unnormalized": bool(args.extract_unnormalized),
                "experiments": {}}
     # partial reruns (e.g. baselines only) update the existing summary
     prev = os.path.join(args.out, "summary.json")
@@ -130,7 +135,8 @@ def main(argv=None) -> None:
             "--saved_diffusion_model",
             backbone if os.path.isdir(os.path.join(backbone, "state"))
             else os.path.join(backbone, "best"),
-        ] + jsrt_common)
+        ] + (["--extract_unnormalized"] if args.extract_unnormalized else [])
+          + jsrt_common)
         exp_dir = os.path.join(args.out, "TEDM", str(n), f"t{n}")
         results = evaluate_shared_weights(exp_dir, nih_path=nih, mon_path=mon)
         summ = summarize(results)

@@ -138,6 +138,15 @@ class Config:
 
     # Input normalization to [-1, 1] before diffusion (reference: train.py:23)
     normalize: bool = True
+    # Reproduce the reference's UNNORMALIZED feature extraction: its
+    # DatasetDM.extract_features calls forward_diffusion_model directly
+    # (reference: models/datasetDM_model.py:77), bypassing the [0,1]->[-1,1]
+    # normalize that only lives in DiffusionModel.forward
+    # (diffusion_model.py:169) — so the frozen backbone receives
+    # feature-extraction inputs at half the dynamic range it was trained on.
+    # tedm_tpu normalizes by default (the fix); this switch restores the
+    # reference behavior for parity experiments (see RESULTS_parity.md).
+    extract_unnormalized: bool = False
 
     # TPU-native extensions (no reference equivalent; SURVEY §2.3)
     mesh_shape: Tuple[int, ...] = ()      # () = all local devices on one 'data' axis
@@ -340,6 +349,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shared_weights_over_timesteps", action="store_true")
     p.add_argument("--early_stop", action="store_true")
     p.add_argument("--standardize_features", action="store_true")
+    p.add_argument("--extract_unnormalized", action="store_true",
+                   help="reference-parity: skip the [0,1]->[-1,1] normalize in "
+                        "feature extraction (the reference's datasetDM defect)")
     p.add_argument("--mesh_shape", nargs="*", type=int, default=[])
     p.add_argument("--mesh_axes", nargs="*", type=str, default=["data"])
     p.add_argument("--param_sharding", type=str, default=defaults.param_sharding,

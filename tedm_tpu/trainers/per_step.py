@@ -50,7 +50,8 @@ def build_task(config: Config, rng, loaders=None, compute_stats: bool = True) ->
     def features(bp, x, rng):
         apply_fn = lambda xx, tt, **kw: unet.apply({"params": bp}, xx, tt, **kw)
         feats = extract_features(
-            apply_fn, sched, x, t_steps, rng=rng, normalize=config.normalize
+            apply_fn, sched, x, t_steps, rng=rng,
+            normalize=config.normalize and not config.extract_unnormalized,
         )
         return [jax.lax.stop_gradient(f) for f in feats]
 

@@ -88,3 +88,42 @@ def test_ema_decay_validated():
         Config(ema_decay=-0.1)
     assert Config(ema_decay=0.9999).ema_decay == 0.9999
     assert Config(ema_decay=0.0).ema_decay == 0.0
+
+
+def test_extract_unnormalized_flag():
+    """The parity switch (RESULTS_parity.md mechanism): CLI parses it, the
+    TEDM preset leaves it alone, and it actually changes the features the
+    datasetdm task computes (reference defect: datasetDM_model.py:77
+    bypasses the [0,1]->[-1,1] normalize of diffusion_model.py:169)."""
+    from tedm_tpu.config import config_from_args
+
+    cfg = config_from_args([
+        "--experiment", "TEDM", "--extract_unnormalized",
+        "--n_labelled_images", "1",
+    ])
+    assert cfg.extract_unnormalized and cfg.normalize
+    assert not config_from_args(["--experiment", "TEDM",
+                                 "--n_labelled_images", "1"]).extract_unnormalized
+
+    # embedded-config roundtrip (eval rebuilds the task from this)
+    from tedm_tpu.config import Config
+    assert Config.from_json(cfg.to_json()).extract_unnormalized
+
+    import jax
+    import jax.numpy as jnp
+    from tedm_tpu.trainers.datasetdm import build_task
+
+    base = cfg.replace(
+        dim=8, dim_mults=(1, 2), img_size=16, timesteps=10,
+        t_steps_to_save=(1, 5), saved_diffusion_model="/nonexistent",
+        use_pallas=False,
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jnp.linspace(0, 1, 16 * 16, dtype=jnp.float32).reshape(1, 16, 16, 1)
+    out = {}
+    for flag in (False, True):
+        task = build_task(base.replace(extract_unnormalized=flag), rng)
+        logits, _ = task.apply(task.params, task.batch_stats, x,
+                               jax.random.PRNGKey(1), False)
+        out[flag] = logits
+    assert not jnp.allclose(out[False], out[True])

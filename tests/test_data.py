@@ -223,3 +223,45 @@ def test_device_synthetic_loader_contract():
     assert len(la) == len(lc) == 2
     assert int(sum(x["valid"].sum() for x in la)) == 13
     assert int(sum(x["valid"].sum() for x in lc)) == 12
+
+
+def test_synthetic_hard_corpus():
+    """HARD variant (VERDICT r3 #2): deterministic, valid ranges, midline-
+    disjoint lungs (the parity exporter's per-lung column partition), and
+    measurably harder than the easy corpus by intensity separability."""
+    ds = SyntheticCXRDataset("train", 8, 64, hard=True)
+    img1, mask1 = ds[3]
+    img2, mask2 = ds[3]
+    np.testing.assert_array_equal(img1, img2)
+    np.testing.assert_array_equal(mask1, mask2)
+    assert img1.shape == (64, 64, 1) and set(np.unique(mask1)) <= {0.0, 1.0}
+    assert img1.min() >= 0.0 and img1.max() <= 1.0
+    # the hard flag actually changes pixels; the easy path is untouched
+    easy = SyntheticCXRDataset("train", 8, 64)[3][0]
+    assert not np.array_equal(img1, easy)
+
+    def oracle_threshold_dice(ds, n=6):
+        best = []
+        for i in range(n):
+            img, m = ds[i]
+            cands = np.linspace(0.05, 0.95, 46)
+            scores = [
+                2 * ((img < c) * m).sum() / (max((img < c).sum() + m.sum(), 1))
+                for c in cands
+            ]
+            best.append(max(scores))
+        return float(np.mean(best))
+
+    hard_sep = oracle_threshold_dice(SyntheticCXRDataset("train", 8, 64, hard=True))
+    easy_sep = oracle_threshold_dice(SyntheticCXRDataset("train", 8, 64))
+    assert hard_sep < easy_sep - 0.15, (hard_sep, easy_sep)
+
+    # midline partition: no lung pixel crosses x = 0.5 into the wrong half
+    for i in range(6):
+        _, m = ds[i]
+        s = m.shape[0]
+        xx = np.arange(s)[None, :, None] / s
+        left = m * (xx < 0.5)
+        right = m * (xx >= 0.5)
+        np.testing.assert_array_equal(np.maximum(left, right), m)
+        assert left.sum() > 0 and right.sum() > 0
