@@ -59,6 +59,10 @@ def main(argv=None) -> None:
     ap.add_argument("--backbone_dir", type=str, default=None,
                     help="use this backbone checkpoint dir "
                          "(e.g. the torch-ported one from port_backbone.py)")
+    ap.add_argument("--ema_decay", type=float, default=0.0,
+                    help="train the backbone with --ema_decay (EMA quality "
+                         "evidence, VERDICT r3 #5); downstream TEDM heads "
+                         "then consume the averaged weights automatically")
     ap.add_argument("--extract_unnormalized", action="store_true",
                     help="mechanism flip (RESULTS_parity.md): train/eval the "
                          "TEDM head with the reference's unnormalized feature "
@@ -97,11 +101,13 @@ def main(argv=None) -> None:
             # side's sample_plot_image is a patched no-op — it crashes as
             # shipped); DDIM keeps it from dominating the backbone run
             "--ddim_steps", "25",
-        ] + [a if a else os.path.join(args.root, "CXR14") for a in common])
+        ] + (["--ema_decay", str(args.ema_decay)] if args.ema_decay else [])
+          + [a if a else os.path.join(args.root, "CXR14") for a in common])
 
     summary = {"img_size": args.img_size, "backbone_steps": args.backbone_steps,
                "head_steps": args.head_steps, "framework": "tedm_tpu",
                "extract_unnormalized": bool(args.extract_unnormalized),
+               "ema_decay": args.ema_decay,
                "experiments": {}}
     # partial reruns (e.g. baselines only) update the existing summary
     prev = os.path.join(args.out, "summary.json")

@@ -96,14 +96,14 @@ def sampling_program(batch=8, steps=1000, img=128):
     return run, (jax.random.PRNGKey(0),)
 
 
-def train_program(batch=16, iters=1):
+def train_program(batch=16, iters=1, img=128):
     import optax
 
     from tedm_tpu.models.diffusion import train_loss
     from tedm_tpu.ops.schedules import make_schedule
 
     on_tpu = jax.default_backend() == "tpu"
-    unet, params = build_model(jnp.bfloat16 if on_tpu else jnp.float32, on_tpu)
+    unet, params = build_model(jnp.bfloat16 if on_tpu else jnp.float32, on_tpu, img=img)
     sched = make_schedule(1000, "cosine")
     tx = optax.adam(1e-4)
     opt_state = jax.device_put(tx.init(params), jax.devices()[0])
@@ -125,7 +125,7 @@ def train_program(batch=16, iters=1):
         return ls
 
     x = jax.device_put(
-        np.random.RandomState(0).randn(batch, 128, 128, 1).astype(np.float32))
+        np.random.RandomState(0).randn(batch, img, img, 1).astype(np.float32))
     return run, (params, opt_state, x)
 
 
@@ -180,6 +180,7 @@ def main(argv=None) -> None:
     ap.add_argument("--iters", type=int, default=20,
                     help="train-step scan length")
     ap.add_argument("--img", type=int, default=128)
+    ap.add_argument("--train_batch", type=int, default=16)
     ap.add_argument("--out", type=str, default=None,
                     help="default: ROOFLINE.json at 128, ROOFLINE_<img>.json "
                     "otherwise (bench.py derives MFU from ROOFLINE.json and "
@@ -208,9 +209,11 @@ def main(argv=None) -> None:
             out["sampling_flops_per_step"] = rec["flops_per_unit"]
 
     if not args.skip_train:
-        run, a = train_program(iters=args.iters)
-        rec = measure(f"train step (bf16 b16, {args.iters} chained)", run, a,
-                      args.iters)
+        run, a = train_program(batch=args.train_batch, iters=args.iters,
+                               img=args.img)
+        rec = measure(
+            f"train step (bf16 b{args.train_batch} {args.img}^2, "
+            f"{args.iters} chained)", run, a, args.iters)
         out["train"] = rec
 
     path = os.path.join(REPO, args.out)
