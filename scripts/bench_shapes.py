@@ -44,7 +44,7 @@ def build(img, dtype, **unet_kw):
                 **unet_kw)
     with jax.default_device(jax.devices("cpu")[0]):
         cpu = unet.clone(use_pallas=False, use_pallas_groupnorm=False,
-                         use_pallas_resblock=False)
+                         use_pallas_resblock=False, use_pallas_flash=False)
         params = cpu.init(jax.random.PRNGKey(0),
                           np.zeros((1, img, img, 1), np.float32),
                           np.zeros((1,), np.int32))["params"]
@@ -142,9 +142,14 @@ def main(argv=None) -> None:
     ap.add_argument("--img", type=int, default=256)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--train_batch", type=int, default=8)
-    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--steps", type=int, default=1000,
+                    help="sampling scan length (shorten >=512^2: a 1000-step "
+                    "scan is one multi-minute device execution that trips "
+                    "the tunnel RPC deadline; per-step cost is "
+                    "schedule-length independent)")
+    ap.add_argument("--fwd_batch", type=int, default=8)
     ap.add_argument("--only", nargs="*", default=None,
-                    help="subset: default no_pallas gn resblock sample train")
+                    help="subset: default no_pallas gn resblock flash sample train")
     args = ap.parse_args(argv)
 
     out_path = os.path.join(REPO, "BENCH_shapes.jsonl")
@@ -159,20 +164,32 @@ def main(argv=None) -> None:
             f.write(json.dumps(rec) + "\n")
 
     want = lambda k: args.only is None or k in args.only
+
+    def go(fn, *a, **kw):
+        # one gate failing (OOM at an extreme shape, a tunnel fault) must
+        # not abort the remaining measurements
+        try:
+            fn(*a, **kw)
+        except Exception as e:
+            print(f"[bench_shapes] {fn.__name__}{a[:2]} FAILED: "
+                  f"{type(e).__name__}: {str(e)[:400]}", flush=True)
     if want("default"):
-        bench_fwd("default", args.img, 8, args.iters, record, use_pallas=True)
+        go(bench_fwd, "default", args.img, args.fwd_batch, args.iters, record, use_pallas=True)
     if want("no_pallas"):
-        bench_fwd("no_pallas", args.img, 8, args.iters, record, use_pallas=False)
+        go(bench_fwd, "no_pallas", args.img, args.fwd_batch, args.iters, record, use_pallas=False)
     if want("gn"):
-        bench_fwd("gn", args.img, 8, args.iters, record,
+        go(bench_fwd, "gn", args.img, args.fwd_batch, args.iters, record,
                   use_pallas=True, use_pallas_groupnorm=True)
     if want("resblock"):
-        bench_fwd("resblock", args.img, 8, args.iters, record,
+        go(bench_fwd, "resblock", args.img, args.fwd_batch, args.iters, record,
                   use_pallas=True, use_pallas_resblock=True)
+    if want("flash"):
+        go(bench_fwd, "flash", args.img, args.fwd_batch, args.iters, record,
+                  use_pallas=True, use_pallas_flash=True)
     if want("sample"):
-        bench_sampling(args.img, 8, args.steps, record)
+        go(bench_sampling, args.img, args.fwd_batch, args.steps, record)
     if want("train"):
-        bench_train(args.img, args.train_batch, 20, record)
+        go(bench_train, args.img, args.train_batch, 20, record)
 
 
 if __name__ == "__main__":

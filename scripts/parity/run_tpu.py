@@ -63,6 +63,10 @@ def main(argv=None) -> None:
                     help="train the backbone with --ema_decay (EMA quality "
                          "evidence, VERDICT r3 #5); downstream TEDM heads "
                          "then consume the averaged weights automatically")
+    ap.add_argument("--serve_raw_params", action="store_true",
+                    help="TEDM heads read the RAW weights from an --ema_decay "
+                         "backbone checkpoint instead of the EMA weights "
+                         "(same-checkpoint EMA-vs-raw A/B)")
     ap.add_argument("--extract_unnormalized", action="store_true",
                     help="mechanism flip (RESULTS_parity.md): train/eval the "
                          "TEDM head with the reference's unnormalized feature "
@@ -108,6 +112,7 @@ def main(argv=None) -> None:
                "head_steps": args.head_steps, "framework": "tedm_tpu",
                "extract_unnormalized": bool(args.extract_unnormalized),
                "ema_decay": args.ema_decay,
+               "serve_raw_params": bool(args.serve_raw_params),
                "experiments": {}}
     # partial reruns (e.g. baselines only) update the existing summary
     prev = os.path.join(args.out, "summary.json")
@@ -142,6 +147,7 @@ def main(argv=None) -> None:
             backbone if os.path.isdir(os.path.join(backbone, "state"))
             else os.path.join(backbone, "best"),
         ] + (["--extract_unnormalized"] if args.extract_unnormalized else [])
+          + (["--serve_raw_params"] if args.serve_raw_params else [])
           + jsrt_common)
         exp_dir = os.path.join(args.out, "TEDM", str(n), f"t{n}")
         results = evaluate_shared_weights(exp_dir, nih_path=nih, mon_path=mon)

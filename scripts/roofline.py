@@ -180,6 +180,11 @@ def main(argv=None) -> None:
     ap.add_argument("--iters", type=int, default=20,
                     help="train-step scan length")
     ap.add_argument("--img", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=1000,
+                    help="sampling scan length; shorten at 512^2 where a "
+                    "1000-step scan is a single ~3-min device execution that "
+                    "trips the tunnel's RPC deadline (per-step cost is "
+                    "schedule-length independent: the UNet fwd dominates)")
     ap.add_argument("--train_batch", type=int, default=16)
     ap.add_argument("--out", type=str, default=None,
                     help="default: ROOFLINE.json at 128, ROOFLINE_<img>.json "
@@ -196,17 +201,27 @@ def main(argv=None) -> None:
            "peaks": {"bf16_tflops": V5E_PEAK_BF16_FLOPS / 1e12,
                      "hbm_gbps": V5E_PEAK_HBM_GBPS}}
 
+    path = os.path.join(REPO, args.out)
+
+    def flush():
+        # write after EVERY phase: a 512^2 train-step OOM (or tunnel fault)
+        # must not discard the sampling measurement that already succeeded
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"wrote {path}", flush=True)
+
     out["img"] = args.img
     if not args.skip_sampling:
-        run, a = sampling_program(img=args.img)
-        rec = measure(f"sampling scan (bf16 b8 {args.img}^2, 1000 steps)",
-                      run, a, 1000)
+        run, a = sampling_program(steps=args.steps, img=args.img)
+        rec = measure(f"sampling scan (bf16 b8 {args.img}^2, "
+                      f"{args.steps} steps)", run, a, args.steps)
         out["sampling"] = rec
         # bench.py reads these to derive MFU/hbm_gbps from ITS measured dt
         if rec.get("bytes_per_unit"):
             out["sampling_bytes_per_step"] = rec["bytes_per_unit"]
         if rec.get("flops_per_unit"):
             out["sampling_flops_per_step"] = rec["flops_per_unit"]
+        flush()
 
     if not args.skip_train:
         run, a = train_program(batch=args.train_batch, iters=args.iters,
@@ -215,11 +230,7 @@ def main(argv=None) -> None:
             f"train step (bf16 b{args.train_batch} {args.img}^2, "
             f"{args.iters} chained)", run, a, args.iters)
         out["train"] = rec
-
-    path = os.path.join(REPO, args.out)
-    with open(path, "w") as f:
-        json.dump(out, f, indent=2)
-    print(f"wrote {path}")
+        flush()
 
     # BASELINE.md paragraph
     print("\n--- roofline paragraph ---")

@@ -114,6 +114,11 @@ class Config:
                                    # validation/sampling and downstream
                                    # feature extraction use the EMA weights.
                                    # 0 = reference-faithful (no averaging)
+    serve_raw_params: bool = False # load the RAW (non-EMA) weights from an
+                                   # --ema_decay checkpoint in downstream
+                                   # loaders — the controlled EMA-vs-raw A/B
+                                   # on one backbone (both weight sets live
+                                   # in the same checkpoint)
     max_steps: int = 500_000
     p2_loss_weight_gamma: float = 0.0
     p2_loss_weight_k: float = 1.0
@@ -159,6 +164,9 @@ class Config:
     use_pallas_resblock: bool = False     # fused whole-ResnetBlock kernel
                                           # (conv3x3+GN+FiLM+SiLU ×2 + residual
                                           # in one kernel; see docs/DESIGN.md)
+    use_pallas_flash: bool = False        # flash-cosine mid attention (opt-in:
+                                          # loses to XLA einsum for N<=4096,
+                                          # i.e. every img_size <= 512)
     attn_layout: str = "heads_major"      # linear-attention einsum layout
                                           # ('heads_major' | 'nhwc'; measured equal on v5e)
     synthetic_data: bool = False          # deterministic synthetic CXR data (no image files needed)
@@ -330,6 +338,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ema_decay", type=float, default=defaults.ema_decay,
                    help="EMA decay for diffusion backbone params "
                         "(e.g. 0.9999; 0 disables)")
+    p.add_argument("--serve_raw_params", action="store_true",
+                   help="serve the raw (non-EMA) weights from an --ema_decay "
+                        "checkpoint in downstream loaders (EMA-vs-raw A/B)")
     p.add_argument("--max_steps", type=int, default=defaults.max_steps)
     p.add_argument("--p2_loss_weight_gamma", type=float, default=defaults.p2_loss_weight_gamma)
     p.add_argument("--p2_loss_weight_k", type=float, default=defaults.p2_loss_weight_k)
@@ -363,6 +374,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused GroupNorm+FiLM+SiLU kernel (opt-in; re-measure per shape)")
     p.add_argument("--use_pallas_resblock", action="store_true",
                    help="fused whole-ResnetBlock Pallas kernel")
+    p.add_argument("--use_pallas_flash", action="store_true",
+                   help="flash-cosine Pallas kernel for the mid attention "
+                   "(opt-in; measured slower than XLA for img_size <= 512)")
     p.add_argument("--attn_layout", type=str, default=defaults.attn_layout,
                    choices=["heads_major", "nhwc"],
                    help="linear-attention einsum layout (measured equal on v5e)")

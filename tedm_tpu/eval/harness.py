@@ -154,8 +154,11 @@ def load_diffusion_experiment(exp_dir: str):
     state, _ = load_checkpoint(ckpt, template, config)
     sched = make_schedule(config.timesteps, config.beta_schedule,
                           config.p2_loss_weight_gamma, config.p2_loss_weight_k)
-    # prefer the EMA weights when the backbone was trained with --ema_decay
-    return config, state.get("ema_params", state["params"]), unet, sched
+    # prefer the EMA weights when the backbone was trained with --ema_decay;
+    # the checkpoint-embedded --serve_raw_params overrides (EMA-vs-raw A/B)
+    served = (state["params"] if getattr(config, "serve_raw_params", False)
+              else state.get("ema_params", state["params"]))
+    return config, served, unet, sched
 
 
 def make_conditional_sampler(config, unet, sched):

@@ -40,6 +40,7 @@ class GlobalCL(nn.Module):
     use_pallas: bool = False
     use_pallas_groupnorm: bool = False
     use_pallas_resblock: bool = False
+    use_pallas_flash: bool = False
     attn_layout: str = "heads_major"
 
     def setup(self) -> None:
@@ -48,6 +49,7 @@ class GlobalCL(nn.Module):
             dtype=self.dtype, use_pallas=self.use_pallas,
             use_pallas_groupnorm=self.use_pallas_groupnorm,
             use_pallas_resblock=self.use_pallas_resblock,
+            use_pallas_flash=self.use_pallas_flash,
             attn_layout=self.attn_layout, name="unet",
         )
         # Torch-matched kernel init (reference heads are plain nn.Linear,
@@ -78,6 +80,7 @@ class LocalCL(nn.Module):
     use_pallas: bool = False
     use_pallas_groupnorm: bool = False
     use_pallas_resblock: bool = False
+    use_pallas_flash: bool = False
     attn_layout: str = "heads_major"
 
     def setup(self) -> None:
@@ -86,6 +89,7 @@ class LocalCL(nn.Module):
             dtype=self.dtype, use_pallas=self.use_pallas,
             use_pallas_groupnorm=self.use_pallas_groupnorm,
             use_pallas_resblock=self.use_pallas_resblock,
+            use_pallas_flash=self.use_pallas_flash,
             attn_layout=self.attn_layout, name="unet",
         )
         dims = [self.dim] + [self.dim * m for m in self.dim_mults]

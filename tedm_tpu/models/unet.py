@@ -527,6 +527,14 @@ class Unet(nn.Module):
     # residual in ONE kernel, ops/pallas/resblock.py) — unlike the
     # GN-only kernel it introduces no mid-chain fusion boundary.
     use_pallas_resblock: bool = False
+    # Route the mid-stage full attention through the fused flash-cosine
+    # Pallas kernel (ops/pallas/flash_attention.py; l2norm+softmax+PV in
+    # one VMEM-resident pass). Opt-in: measured 2-5x SLOWER than XLA's
+    # batched einsum at N=1024..4096 (d=32 contractions underfill the
+    # MXU); the mid stage is N=(img/8)^2, so every shape <= 512^2 sits in
+    # the measured losing range. Param-tree neutral (the kernel has no
+    # extra params) — flip freely on an existing checkpoint.
+    use_pallas_flash: bool = False
 
     def setup(self) -> None:
         init_dim = self.init_dim if self.init_dim is not None else self.dim
@@ -562,14 +570,15 @@ class Unet(nn.Module):
 
         mid_dim = dims[-1]
         self.mid_block1 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock)
-        # Mid attention stays on the XLA path: the Pallas flash kernel was
-        # measured 2-5x SLOWER on v5e at N=1024..4096 (d=32 contractions
-        # underfill the MXU; XLA's batched einsum wins until the N x N
-        # scores no longer fit HBM comfortably, ~N>=16k). The kernel
-        # remains available (ops/pallas/flash_attention.py) for extreme
-        # resolutions.
+        # Mid attention defaults to the XLA path: the Pallas flash kernel
+        # was measured 2-5x SLOWER on v5e at N=1024..4096 (d=32
+        # contractions underfill the MXU; XLA's batched einsum wins until
+        # the N x N scores no longer fit HBM comfortably, ~N>=16k).
+        # use_pallas_flash opts in for extreme resolutions.
         self.mid_attn = PreNormAttn(
-            mid_dim, Attention(mid_dim, dtype=self.dtype), self.dtype
+            mid_dim,
+            Attention(mid_dim, dtype=self.dtype, use_pallas=self.use_pallas_flash),
+            self.dtype,
         )
         self.mid_block2 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock)
 

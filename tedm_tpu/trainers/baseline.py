@@ -34,6 +34,9 @@ def build_task(config: Config, rng) -> SegTask:
         use_pallas_resblock=(
             config.use_pallas_resblock and jax.default_backend() == "tpu"
         ),
+        use_pallas_flash=(
+            config.use_pallas_flash and jax.default_backend() == "tpu"
+        ),
         attn_layout=config.attn_layout,
     )
     variables = unet.init(

@@ -206,6 +206,9 @@ def main_global(config: Config) -> None:
         use_pallas_resblock=(
             config.use_pallas_resblock and jax.default_backend() == "tpu"
         ),
+        use_pallas_flash=(
+            config.use_pallas_flash and jax.default_backend() == "tpu"
+        ),
         attn_layout=config.attn_layout,
     )
     variables = model.init(
@@ -229,6 +232,9 @@ def main_local(config: Config) -> None:
         ),
         use_pallas_resblock=(
             config.use_pallas_resblock and jax.default_backend() == "tpu"
+        ),
+        use_pallas_flash=(
+            config.use_pallas_flash and jax.default_backend() == "tpu"
         ),
         attn_layout=config.attn_layout,
     )
@@ -319,6 +325,9 @@ def main_finetune(config: Config) -> None:
         ),
         use_pallas_resblock=(
             config.use_pallas_resblock and jax.default_backend() == "tpu"
+        ),
+        use_pallas_flash=(
+            config.use_pallas_flash and jax.default_backend() == "tpu"
         ),
         attn_layout=config.attn_layout,
     )

@@ -50,6 +50,9 @@ def load_backbone(config: Config, rng) -> Tuple[Unet, Any, Any]:
             use_pallas_resblock=(
                 config.use_pallas_resblock and jax.default_backend() == "tpu"
             ),
+            use_pallas_flash=(
+                config.use_pallas_flash and jax.default_backend() == "tpu"
+            ),
             attn_layout=config.attn_layout,
         )
         template = unet.init(
@@ -77,8 +80,11 @@ def load_backbone(config: Config, rng) -> Tuple[Unet, Any, Any]:
         )
         sched = make_schedule(old.timesteps, old.beta_schedule)
         # a backbone trained with --ema_decay serves its EMA weights (the
-        # averaged weights are the ones validation selected on)
-        return unet, state.get("ema_params", state["params"]), sched
+        # averaged weights are the ones validation selected on);
+        # --serve_raw_params overrides for the controlled EMA-vs-raw A/B
+        served = (state["params"] if config.serve_raw_params
+                  else state.get("ema_params", state["params"]))
+        return unet, served, sched
     print(
         f"No model found at {config.saved_diffusion_model}. Please load model!"
     )
@@ -91,6 +97,9 @@ def load_backbone(config: Config, rng) -> Tuple[Unet, Any, Any]:
         ),
         use_pallas_resblock=(
             config.use_pallas_resblock and jax.default_backend() == "tpu"
+        ),
+        use_pallas_flash=(
+            config.use_pallas_flash and jax.default_backend() == "tpu"
         ),
         attn_layout=config.attn_layout,
     )

@@ -75,6 +75,9 @@ def build_model(config: Config) -> Unet:
         use_pallas_resblock=(
             config.use_pallas_resblock and jax.default_backend() == "tpu"
         ),
+        use_pallas_flash=(
+            config.use_pallas_flash and jax.default_backend() == "tpu"
+        ),
         attn_layout=config.attn_layout,
     )
 

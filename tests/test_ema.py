@@ -104,6 +104,21 @@ def test_ema_checkpoint_resume_and_downstream(tmp_path):
     _, served, _, _ = load_diffusion_experiment(str(tmp_path / "CXR14" / "bb"))
     _tree_allclose(served, state["ema_params"])
 
+    # --serve_raw_params overrides the preference (the EMA-vs-raw A/B on one
+    # checkpoint): load_backbone must hand back the RAW weights
+    from tedm_tpu.config import config_from_args
+    from tedm_tpu.trainers.datasetdm import load_backbone
+
+    raw_cfg = config_from_args(
+        ["--experiment", "TEDM", "--saved_diffusion_model", best,
+         "--serve_raw_params"] + ARGS)
+    _, served_raw, _ = load_backbone(raw_cfg, jax.random.PRNGKey(0))
+    _tree_allclose(served_raw, state["params"])
+    ema_cfg = config_from_args(
+        ["--experiment", "TEDM", "--saved_diffusion_model", best] + ARGS)
+    _, served_ema, _ = load_backbone(ema_cfg, jax.random.PRNGKey(0))
+    _tree_allclose(served_ema, state["ema_params"])
+
     # resume restores the EMA subtree and keeps averaging
     train_main(["--experiment", "img_only", "--log_dir", str(tmp_path / "bb2"),
                 "--ema_decay", "0.9", "--max_steps", "4", "--val_freq", "2",

@@ -144,3 +144,22 @@ def test_torch_matched_kernel_init():
         assert np.abs(np.asarray(leaf)).max() <= b + 1e-6, name
         checked += 1
     assert checked > 10
+
+
+def test_use_pallas_flash_param_neutral_and_equivalent(small_unet):
+    """use_pallas_flash routes the mid attention through the flash-cosine
+    kernel (ops/pallas/flash_attention.py). The kernel fuses the l2norm and
+    has NO parameters of its own, so the flag must (a) leave the param tree
+    identical (flippable on an existing checkpoint) and (b) preserve the
+    forward output (off-TPU the kernel wrapper falls back to the same
+    cosine-attention math; kernel-vs-reference numerics are pinned in
+    tests/test_pallas_flash_attention.py)."""
+    m, params = small_unet
+    mf = m.clone(use_pallas_flash=True)
+    x = np.random.RandomState(0).randn(2, 16, 16, 1).astype(np.float32)
+    t = jnp.array([0, 5], jnp.int32)
+    pf = mf.init(jax.random.PRNGKey(0), x, t)
+    assert jax.tree_util.tree_structure(pf) == jax.tree_util.tree_structure(params)
+    y = m.apply(params, x, t)
+    yf = mf.apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yf), atol=1e-6)
