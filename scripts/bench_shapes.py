@@ -97,7 +97,7 @@ def bench_sampling(img, batch, steps, record):
            steps_per_sec_per_chip=batch * steps / (dt * steps))
 
 
-def bench_train(img, batch, iters, record):
+def bench_train(img, batch, iters, record, remat=False):
     import optax
 
     from tedm_tpu.models.diffusion import train_loss
@@ -110,8 +110,13 @@ def bench_train(img, batch, iters, record):
     key = jax.random.PRNGKey(0)
 
     def loss_fn(p, x, r):
-        return train_loss(
-            lambda xt, t: unet.apply({"params": p}, xt, t), sched, r, x)
+        # mirror the product --remat (trainers/diffusion.py:110-114): at
+        # 512^2 the fp32 GN activations kept for backward exceed HBM even
+        # at batch 2 (15.76G of 15.75G) — recompute instead of store
+        apply = lambda xt, t: unet.apply({"params": p}, xt, t)
+        if remat:
+            apply = jax.checkpoint(apply)
+        return train_loss(apply, sched, r, x)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def run(p, o, x):
@@ -133,8 +138,8 @@ def bench_train(img, batch, iters, record):
     params, opt_state, ls = run(params, opt_state, x)
     jax.block_until_ready(ls)
     dt = (time.perf_counter() - t0) / iters
-    record("train/default", img, batch, dt, compile_s,
-           imgs_per_sec=batch / dt)
+    record("train/remat" if remat else "train/default", img, batch, dt,
+           compile_s, imgs_per_sec=batch / dt)
 
 
 def main(argv=None) -> None:
@@ -148,6 +153,9 @@ def main(argv=None) -> None:
                     "the tunnel RPC deadline; per-step cost is "
                     "schedule-length independent)")
     ap.add_argument("--fwd_batch", type=int, default=8)
+    ap.add_argument("--train_remat", action="store_true",
+                    help="jax.checkpoint the UNet in the train step "
+                    "(required to fit 512^2: OOM at any batch without it)")
     ap.add_argument("--only", nargs="*", default=None,
                     help="subset: default no_pallas gn resblock flash sample train")
     args = ap.parse_args(argv)
@@ -189,7 +197,8 @@ def main(argv=None) -> None:
     if want("sample"):
         go(bench_sampling, args.img, args.fwd_batch, args.steps, record)
     if want("train"):
-        go(bench_train, args.img, args.train_batch, 20, record)
+        go(bench_train, args.img, args.train_batch, 20, record,
+           remat=args.train_remat)
 
 
 if __name__ == "__main__":

@@ -96,7 +96,7 @@ def sampling_program(batch=8, steps=1000, img=128):
     return run, (jax.random.PRNGKey(0),)
 
 
-def train_program(batch=16, iters=1, img=128):
+def train_program(batch=16, iters=1, img=128, remat=False):
     import optax
 
     from tedm_tpu.models.diffusion import train_loss
@@ -110,8 +110,12 @@ def train_program(batch=16, iters=1, img=128):
     key = jax.random.PRNGKey(0)
 
     def loss_fn(p, x, r):
-        return train_loss(
-            lambda xt, t: unet.apply({"params": p}, xt, t), sched, r, x)
+        # mirror the product --remat (trainers/diffusion.py:110-114); at
+        # 512^2 the stored-activation backward OOMs HBM even at batch 2
+        apply = lambda xt, t: unet.apply({"params": p}, xt, t)
+        if remat:
+            apply = jax.checkpoint(apply)
+        return train_loss(apply, sched, r, x)
 
     @jax.jit
     def run(p, o, x):
@@ -186,6 +190,9 @@ def main(argv=None) -> None:
                     "trips the tunnel's RPC deadline (per-step cost is "
                     "schedule-length independent: the UNet fwd dominates)")
     ap.add_argument("--train_batch", type=int, default=16)
+    ap.add_argument("--train_remat", action="store_true",
+                    help="jax.checkpoint the UNet in the train step "
+                    "(required to fit 512^2)")
     ap.add_argument("--out", type=str, default=None,
                     help="default: ROOFLINE.json at 128, ROOFLINE_<img>.json "
                     "otherwise (bench.py derives MFU from ROOFLINE.json and "
@@ -225,10 +232,11 @@ def main(argv=None) -> None:
 
     if not args.skip_train:
         run, a = train_program(batch=args.train_batch, iters=args.iters,
-                               img=args.img)
+                               img=args.img, remat=args.train_remat)
         rec = measure(
             f"train step (bf16 b{args.train_batch} {args.img}^2, "
-            f"{args.iters} chained)", run, a, args.iters)
+            f"{args.iters} chained{', remat' if args.train_remat else ''})",
+            run, a, args.iters)
         out["train"] = rec
         flush()
 
