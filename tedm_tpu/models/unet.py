@@ -572,9 +572,11 @@ class Unet(nn.Module):
         self.mid_block1 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock)
         # Mid attention defaults to the XLA path: the Pallas flash kernel
         # was measured 2-5x SLOWER on v5e at N=1024..4096 (d=32
-        # contractions underfill the MXU; XLA's batched einsum wins until
-        # the N x N scores no longer fit HBM comfortably, ~N>=16k).
-        # use_pallas_flash opts in for extreme resolutions.
+        # contractions underfill the MXU), and the predicted ~N>=16k
+        # crossover did NOT materialize — at 1024^2 inputs (N=16384) the
+        # full fwd is 538.9 ms flash vs 455.8 XLA (BENCH_shapes.jsonl).
+        # XLA wins at every shape this framework can ship on one chip;
+        # use_pallas_flash remains a measured escape hatch, never default.
         self.mid_attn = PreNormAttn(
             mid_dim,
             Attention(mid_dim, dtype=self.dtype, use_pallas=self.use_pallas_flash),
