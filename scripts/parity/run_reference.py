@@ -308,12 +308,27 @@ def main(argv=None) -> None:
         ref_dm.DatasetDM.extract_features = _normalized_extract
         print("[normalize_extract] extract_features now normalizes x_0 to [-1,1]")
 
+    mechanism = {"normalize_extract": bool(args.normalize_extract)}
     summary = {"img_size": args.img_size, "backbone_steps": args.backbone_steps,
                "head_steps": args.head_steps, "framework": "torch-reference",
                "normalize_extract": bool(args.normalize_extract),
                "experiments": {}}
+    # partial reruns (--skip_baseline/--skip_tedm) must not clobber the
+    # other arm's results: merge the existing summary's experiments (each
+    # entry carries its own "mechanism" stamp, so mixed-flag merges stay
+    # correctly labeled)
+    prev = os.path.join(args.out, "summary.json")
+    if os.path.exists(prev):
+        with open(prev) as f:
+            summary["experiments"] = json.load(f).get("experiments", {})
     backbone_ckpt = args.backbone_ckpt or os.path.join(
         args.out, "CXR14", "run", "best_model.pt")
+    if args.backbone_ckpt and not os.path.exists(args.backbone_ckpt):
+        # fail fast: heads would point at the missing path while a fresh
+        # backbone trains into the DEFAULT location — a multi-hour run
+        # that crashes at the first head load
+        raise SystemExit(
+            f"--backbone_ckpt {args.backbone_ckpt} does not exist")
 
     if not args.skip_backbone and not os.path.exists(backbone_ckpt):
         print("=== reference backbone (train_CXR14) ===")
@@ -344,8 +359,9 @@ def main(argv=None) -> None:
         )
         tb.main(cfg)
         print(f"=== reference baseline n={n} eval ===")
-        summary["experiments"][f"baseline/{n}"] = evaluate(
-            str(logdir), args.root, shared=False
+        summary["experiments"][f"baseline/{n}"] = dict(
+            evaluate(str(logdir), args.root, shared=False),
+            mechanism=mechanism,
         )
         with open(os.path.join(args.out, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
@@ -371,8 +387,9 @@ def main(argv=None) -> None:
         )
         td.main(cfg)
         print(f"=== reference TEDM n={n} eval ===")
-        summary["experiments"][f"TEDM/{n}"] = evaluate(
-            str(logdir), args.root, shared=True
+        summary["experiments"][f"TEDM/{n}"] = dict(
+            evaluate(str(logdir), args.root, shared=True),
+            mechanism=mechanism,
         )
         with open(os.path.join(args.out, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)

@@ -108,13 +108,19 @@ def main(argv=None) -> None:
         ] + (["--ema_decay", str(args.ema_decay)] if args.ema_decay else [])
           + [a if a else os.path.join(args.root, "CXR14") for a in common])
 
+    mechanism = {"extract_unnormalized": bool(args.extract_unnormalized),
+                 "ema_decay": args.ema_decay,
+                 "serve_raw_params": bool(args.serve_raw_params)}
     summary = {"img_size": args.img_size, "backbone_steps": args.backbone_steps,
                "head_steps": args.head_steps, "framework": "tedm_tpu",
                "extract_unnormalized": bool(args.extract_unnormalized),
                "ema_decay": args.ema_decay,
                "serve_raw_params": bool(args.serve_raw_params),
                "experiments": {}}
-    # partial reruns (e.g. baselines only) update the existing summary
+    # partial reruns (e.g. baselines only) update the existing summary;
+    # each experiment entry carries its own "mechanism" stamp so a merge
+    # across invocations with different flags stays correctly labeled
+    # (the top-level flags describe THIS invocation only)
     prev = os.path.join(args.out, "summary.json")
     if os.path.exists(prev):
         with open(prev) as f:
@@ -132,7 +138,8 @@ def main(argv=None) -> None:
         ] + jsrt_common)
         exp_dir = os.path.join(args.out, "baseline", str(n), f"b{n}")
         outputs = evaluate_experiment(exp_dir, nih_path=nih, mon_path=mon)
-        summary["experiments"][f"baseline/{n}"] = summarize(outputs)
+        summary["experiments"][f"baseline/{n}"] = dict(
+            summarize(outputs), mechanism=mechanism)
         with open(os.path.join(args.out, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
 
@@ -166,7 +173,7 @@ def main(argv=None) -> None:
                                 "dice_std": float(np.nanstd(d[~np.isnan(d)]))}
             if per_t:
                 summ[key]["per_timestep"] = per_t
-        summary["experiments"][f"TEDM/{n}"] = summ
+        summary["experiments"][f"TEDM/{n}"] = dict(summ, mechanism=mechanism)
         with open(os.path.join(args.out, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
 

@@ -14,9 +14,13 @@ import os
 
 from tedm_tpu.train import main as train_main
 
+# timesteps must exceed the TEDM preset's largest extraction step (800):
+# the backbone's EMBEDDED timesteps drive the head's schedule, and a
+# 10-entry table would silently clamp 7 of the 8 extraction timesteps to
+# t=9 — the smoke would then never exercise multi-noise-level extraction
 ARGS = [
     "--synthetic_data", "--dim", "8", "--dim_mults", "1", "2",
-    "--img_size", "16", "--batch_size", "4", "--timesteps", "10",
+    "--img_size", "16", "--batch_size", "4", "--timesteps", "801",
     "--num_workers", "1", "--val_steps", "5", "--max_val_steps", "1",
     "--n_sampled_imgs", "2",
 ]
@@ -28,7 +32,7 @@ def test_trainer_smoke_chain(tmp_path):
     train_main([
         "--experiment", "img_only", "--log_dir", str(tmp_path / "bb"),
         "--max_steps", "2", "--val_freq", "2", "--log_freq", "2",
-        "--weight_decay", "0.01",
+        "--weight_decay", "0.01", "--ddim_steps", "25",
     ] + ARGS)
     best = os.path.join(str(tmp_path / "CXR14" / "bb"), "best")
     assert os.path.isdir(os.path.join(best, "state"))
