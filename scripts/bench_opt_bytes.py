@@ -26,11 +26,12 @@ import argparse
 import json
 import os
 import sys
-import time
-from functools import partial
 from typing import NamedTuple
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+# repo root AND scripts/ (for bench_shapes) on the path
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(_here, ".."))
+sys.path.insert(0, _here)
 
 import chex
 import jax
@@ -85,65 +86,19 @@ def adam_bf16_states(lr):
     return optax.chain(scale_by_adam_bf16(), optax.scale(-lr))
 
 
-def build_step(tx, batch, img):
-    from tedm_tpu.models.diffusion import train_loss
-    from tedm_tpu.models.unet import Unet
-    from tedm_tpu.ops.schedules import make_schedule
-
-    on_tpu = jax.default_backend() == "tpu"
-    unet = Unet(dim=64, dim_mults=(1, 2, 4, 8), channels=1,
-                dtype=jnp.bfloat16, use_pallas=on_tpu)
-    with jax.default_device(jax.devices("cpu")[0]):
-        cpu_unet = unet.clone(use_pallas=False)
-        params = cpu_unet.init(
-            jax.random.PRNGKey(0), np.zeros((1, img, img, 1), np.float32),
-            np.zeros((1,), np.int32))["params"]
-        sched = make_schedule(1000, "cosine")
-        opt_state = jax.eval_shape(tx.init, params)
-        opt_state = jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), opt_state)
-    dev = jax.devices()[0]
-    params = jax.device_put(params, dev)
-    opt_state = jax.device_put(opt_state, dev)
-
-    def loss_fn(p, x, r):
-        return train_loss(lambda xt, t: unet.apply({"params": p}, xt, t),
-                          sched, r, x)
-
-    key = jax.random.PRNGKey(0)
-
-    @partial(jax.jit, static_argnums=(3,), donate_argnums=(0, 1))
-    def run(p, o, x, iters):
-        def body(c, i):
-            p, o = c
-            l, g = jax.value_and_grad(loss_fn)(p, x, jax.random.fold_in(key, i))
-            u, o = tx.update(g, o, p)
-            return (optax.apply_updates(p, u), o), l
-
-        (p, o), ls = jax.lax.scan(body, (p, o), jnp.arange(iters))
-        return p, o, ls
-
-    x = jax.device_put(
-        np.random.RandomState(0).randn(batch, img, img, 1).astype(np.float32))
-    return run, params, opt_state, x
-
-
 def bench(name, tx, batch, img, iters, record):
-    run, params, opt_state, x = build_step(tx, batch, img)
-    t0 = time.perf_counter()
-    params, opt_state, l = run(params, opt_state, x, iters)
-    jax.block_until_ready(l)
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    params, opt_state, l = run(params, opt_state, x, iters)
-    jax.block_until_ready(l)
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name}: {dt*1e3:6.2f} ms/step ({batch/dt:6.1f} imgs/s) "
-          f"[compile {compile_s:.0f}s]", flush=True)
-    record({"name": name, "img": img, "batch": batch, "ms": round(dt * 1e3, 3),
-            "imgs_per_sec": round(batch / dt, 2),
-            "compile_s": round(compile_s, 1)})
-    return dt
+    """Delegates to the single honest train-step harness
+    (scripts/bench_shapes.py bench_train) with a custom optimizer."""
+    from bench_shapes import bench_train
+
+    def rec(nm, im, b, dt, compile_s, **extra):
+        print(f"{nm}: {dt*1e3:6.2f} ms/step ({b/dt:6.1f} imgs/s) "
+              f"[compile {compile_s:.0f}s]", flush=True)
+        record({"name": nm, "img": im, "batch": b, "ms": round(dt * 1e3, 3),
+                "imgs_per_sec": round(b / dt, 2),
+                "compile_s": round(compile_s, 1)})
+
+    bench_train(img, batch, iters, rec, tx=tx, name=name)
 
 
 def main() -> None:

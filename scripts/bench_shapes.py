@@ -97,7 +97,10 @@ def bench_sampling(img, batch, steps, record):
            steps_per_sec_per_chip=batch * steps / (dt * steps))
 
 
-def bench_train(img, batch, iters, record, remat=False):
+def bench_train(img, batch, iters, record, remat=False, tx=None, name=None):
+    """The one honest train-step harness (scan-in-one-jit, donated carry —
+    the CLAUDE.md tunnel-timing trap). scripts/bench_opt_bytes.py reuses it
+    with custom optimizers instead of keeping its own copy."""
     import optax
 
     from tedm_tpu.models.diffusion import train_loss
@@ -105,18 +108,26 @@ def bench_train(img, batch, iters, record, remat=False):
 
     unet, params = build(img, jnp.bfloat16, use_pallas=True)
     sched = make_schedule(1000, "cosine")
-    tx = optax.adam(1e-4)
-    opt_state = jax.device_put(tx.init(params), jax.devices()[0])
+    tx = optax.adam(1e-4) if tx is None else tx
+    with jax.default_device(jax.devices("cpu")[0]):
+        # shape-only init on CPU (custom optimizers may hold bf16 state)
+        opt_state = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(tx.init, params))
+    opt_state = jax.device_put(opt_state, jax.devices()[0])
     key = jax.random.PRNGKey(0)
 
+    # mirror the product --remat (Unet.remat, block-level nn.remat): at
+    # 512^2 the fp32 GN activations kept for backward exceed HBM even at
+    # batch 2 (15.76G of 15.75G). A whole-model jax.checkpoint does NOT
+    # fix it (the rematerialized fwd holds the full set again; measured
+    # OOM at b4) — only per-block remat cuts the peak.
+    if remat:
+        unet = unet.clone(remat=True)
+
     def loss_fn(p, x, r):
-        # mirror the product --remat (trainers/diffusion.py:110-114): at
-        # 512^2 the fp32 GN activations kept for backward exceed HBM even
-        # at batch 2 (15.76G of 15.75G) — recompute instead of store
-        apply = lambda xt, t: unet.apply({"params": p}, xt, t)
-        if remat:
-            apply = jax.checkpoint(apply)
-        return train_loss(apply, sched, r, x)
+        return train_loss(
+            lambda xt, t: unet.apply({"params": p}, xt, t), sched, r, x)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def run(p, o, x):
@@ -138,8 +149,8 @@ def bench_train(img, batch, iters, record, remat=False):
     params, opt_state, ls = run(params, opt_state, x)
     jax.block_until_ready(ls)
     dt = (time.perf_counter() - t0) / iters
-    record("train/remat" if remat else "train/default", img, batch, dt,
-           compile_s, imgs_per_sec=batch / dt)
+    record(name or ("train/remat" if remat else "train/default"), img,
+           batch, dt, compile_s, imgs_per_sec=batch / dt)
 
 
 def main(argv=None) -> None:
@@ -173,12 +184,17 @@ def main(argv=None) -> None:
 
     want = lambda k: args.only is None or k in args.only
 
+    failures = []
+
     def go(fn, *a, **kw):
         # one gate failing (OOM at an extreme shape, a tunnel fault) must
-        # not abort the remaining measurements
+        # not abort the remaining measurements — but the process still
+        # exits nonzero so automation can't mistake a failed sweep for a
+        # clean one (stale JSONL rows would otherwise pass silently)
         try:
             fn(*a, **kw)
         except Exception as e:
+            failures.append(fn.__name__)
             print(f"[bench_shapes] {fn.__name__}{a[:2]} FAILED: "
                   f"{type(e).__name__}: {str(e)[:400]}", flush=True)
     if want("default"):
@@ -199,6 +215,8 @@ def main(argv=None) -> None:
     if want("train"):
         go(bench_train, args.img, args.train_batch, 20, record,
            remat=args.train_remat)
+    if failures:
+        raise SystemExit(f"{len(failures)} gate(s) failed: {failures}")
 
 
 if __name__ == "__main__":

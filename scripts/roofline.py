@@ -109,13 +109,16 @@ def train_program(batch=16, iters=1, img=128, remat=False):
     opt_state = jax.device_put(tx.init(params), jax.devices()[0])
     key = jax.random.PRNGKey(0)
 
+    # mirror the product --remat (Unet.remat, block-level nn.remat): the
+    # stored-activation backward OOMs HBM at 512^2 even at batch 2, and a
+    # whole-model jax.checkpoint does not cut the peak (measured OOM at
+    # b4) — only per-block remat does
+    if remat:
+        unet = unet.clone(remat=True)
+
     def loss_fn(p, x, r):
-        # mirror the product --remat (trainers/diffusion.py:110-114); at
-        # 512^2 the stored-activation backward OOMs HBM even at batch 2
-        apply = lambda xt, t: unet.apply({"params": p}, xt, t)
-        if remat:
-            apply = jax.checkpoint(apply)
-        return train_loss(apply, sched, r, x)
+        return train_loss(
+            lambda xt, t: unet.apply({"params": p}, xt, t), sched, r, x)
 
     @jax.jit
     def run(p, o, x):

@@ -177,7 +177,9 @@ class Config:
                                           # checkpointable deterministic iterators)
     profile_dir: Optional[str] = None     # jax.profiler trace output (steps ~10-15)
     multihost: bool = False               # call jax.distributed.initialize() at startup
-    remat: bool = False                   # rematerialize the UNet fwd in backward
+    remat: bool = False                   # block-level activation remat
+                                          # (nn.remat per ResnetBlock/attn;
+                                          # required to train 512²+)
                                           # (trade ~1 extra fwd for O(1) activation memory;
                                           # enables larger batch/resolution)
 
@@ -388,7 +390,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", action="store_true",
                    help="multi-host: jax.distributed.initialize() at startup")
     p.add_argument("--remat", action="store_true",
-                   help="activation rematerialization for the UNet forward")
+                   help="block-level activation rematerialization (nn.remat "
+                        "per ResnetBlock/attention block; required to fit "
+                        "512^2+ training in HBM)")
     p.add_argument("--ddim_steps", type=int, default=0,
                    help="DDIM fast sampling steps (0 = full ancestral)")
     return p

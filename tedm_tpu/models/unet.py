@@ -535,6 +535,18 @@ class Unet(nn.Module):
     # the measured losing range. Param-tree neutral (the kernel has no
     # extra params) — flip freely on an existing checkpoint.
     use_pallas_flash: bool = False
+    # Block-level activation rematerialization: every ResnetBlock and
+    # attention block is wrapped in nn.remat, so the backward pass
+    # recomputes ONE block at a time and only block-boundary activations
+    # stay resident. This — not a whole-model jax.checkpoint — is what
+    # makes 512² training fit HBM: checkpointing the whole forward still
+    # rematerializes the FULL activation set at once inside the backward
+    # (measured: 512² batch-4 OOMs with whole-model checkpoint, the top
+    # HLO temps being ~20 live 260 MB fp32 GroupNorm converts; see
+    # docs/DESIGN.md "remat granularity"). Param-tree neutral (nn.remat
+    # is a lifted transform; names and shapes are unchanged) — flip
+    # freely on an existing checkpoint.
+    remat: bool = False
 
     def setup(self) -> None:
         init_dim = self.init_dim if self.init_dim is not None else self.dim
@@ -543,6 +555,9 @@ class Unet(nn.Module):
         self._in_out = in_out
         time_dim = self.dim * 4
         g = self.resnet_block_groups
+        # block-level remat (see the `remat` field note above)
+        RB = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        PA = nn.remat(PreNormAttn) if self.remat else PreNormAttn
 
         self.init_conv = Conv(
             init_dim, (7, 7), padding="SAME", dtype=self.dtype, name="init_conv"
@@ -554,9 +569,9 @@ class Unet(nn.Module):
             is_last = ind >= len(in_out) - 1
             downs.append(
                 (
-                    ResnetBlock(dim_in, dim_in, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock),
-                    ResnetBlock(dim_in, dim_in, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock),
-                    PreNormAttn(
+                    RB(dim_in, dim_in, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock),
+                    RB(dim_in, dim_in, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock),
+                    PA(
                         dim_in,
                         LinearAttention(dim_in, dtype=self.dtype, use_pallas=self.use_pallas, layout=self.attn_layout),
                         self.dtype,
@@ -569,7 +584,7 @@ class Unet(nn.Module):
         self.downs = downs
 
         mid_dim = dims[-1]
-        self.mid_block1 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock)
+        self.mid_block1 = RB(mid_dim, mid_dim, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock)
         # Mid attention defaults to the XLA path: the Pallas flash kernel
         # was measured 2-5x SLOWER on v5e at N=1024..4096 (d=32
         # contractions underfill the MXU), and the predicted ~N>=16k
@@ -577,21 +592,21 @@ class Unet(nn.Module):
         # full fwd is 538.9 ms flash vs 455.8 XLA (BENCH_shapes.jsonl).
         # XLA wins at every shape this framework can ship on one chip;
         # use_pallas_flash remains a measured escape hatch, never default.
-        self.mid_attn = PreNormAttn(
+        self.mid_attn = PA(
             mid_dim,
             Attention(mid_dim, dtype=self.dtype, use_pallas=self.use_pallas_flash),
             self.dtype,
         )
-        self.mid_block2 = ResnetBlock(mid_dim, mid_dim, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock)
+        self.mid_block2 = RB(mid_dim, mid_dim, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock)
 
         ups = []
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == len(in_out) - 1
             ups.append(
                 (
-                    ResnetBlock(dim_out + dim_in, dim_out, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock),
-                    ResnetBlock(dim_out + dim_in, dim_out, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock),
-                    PreNormAttn(
+                    RB(dim_out + dim_in, dim_out, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock),
+                    RB(dim_out + dim_in, dim_out, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock),
+                    PA(
                         dim_out,
                         LinearAttention(dim_out, dtype=self.dtype, use_pallas=self.use_pallas, layout=self.attn_layout),
                         self.dtype,
@@ -604,7 +619,7 @@ class Unet(nn.Module):
         self.ups = ups
 
         out_dim = self.out_dim if self.out_dim is not None else self.channels
-        self.final_res_block = ResnetBlock(self.dim * 2, self.dim, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock)
+        self.final_res_block = RB(self.dim * 2, self.dim, time_dim, g, self.dtype, self.use_pallas_groupnorm, self.use_pallas_resblock)
         self.final_conv = Conv(out_dim, (1, 1), dtype=self.dtype, name="final_conv")
 
     # ------------------------------------------------------------- pieces

@@ -79,6 +79,7 @@ def build_model(config: Config) -> Unet:
             config.use_pallas_flash and jax.default_backend() == "tpu"
         ),
         attn_layout=config.attn_layout,
+        remat=config.remat,
     )
 
 
@@ -107,11 +108,12 @@ def make_steps(config: Config, unet: Unet, sched, tx):
         else:
             def apply(x, t, **kw):
                 return unet.apply({"params": params}, x, t, **kw)
-        if config.remat:
-            # store only (x_t, t); recompute activations in backward —
-            # trades one extra fwd for O(1) activation memory
-            # (SURVEY north star: jax.checkpoint to trade FLOPs for HBM).
-            return jax.checkpoint(apply)
+        # --remat is implemented INSIDE the Unet (block-level nn.remat,
+        # see Unet.remat): the backward recomputes one block at a time so
+        # only block-boundary activations stay resident. A whole-model
+        # jax.checkpoint here would NOT cut peak memory — the
+        # rematerialized forward holds the full activation set again
+        # (measured: 512² batch-4 OOMs that way; docs/DESIGN.md).
         return apply
 
     # joint x has (img, seg) channels: log the split per the reference's

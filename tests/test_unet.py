@@ -163,3 +163,33 @@ def test_use_pallas_flash_param_neutral_and_equivalent(small_unet):
     y = m.apply(params, x, t)
     yf = mf.apply(params, x, t)
     np.testing.assert_allclose(np.asarray(y), np.asarray(yf), atol=1e-6)
+
+
+def test_remat_param_neutral_forward_and_grads(small_unet):
+    """Unet.remat wraps every ResnetBlock/attention block in nn.remat so
+    the backward recomputes one block at a time (the 512²+ training
+    enabler — a whole-model jax.checkpoint does NOT cut peak memory; see
+    docs/DESIGN.md "remat granularity"). nn.remat is a lifted transform:
+    the param tree must be identical (flippable on an existing
+    checkpoint), and forward AND gradients must match exactly."""
+    m, params = small_unet
+    mr = m.clone(remat=True)
+    x = np.random.RandomState(1).randn(2, 16, 16, 1).astype(np.float32)
+    t = jnp.array([1, 7], jnp.int32)
+    pr = mr.init(jax.random.PRNGKey(0), x, t)
+    assert jax.tree_util.tree_structure(pr) == jax.tree_util.tree_structure(params)
+    np.testing.assert_allclose(
+        np.asarray(m.apply(params, x, t)),
+        np.asarray(mr.apply(params, x, t)), atol=1e-6)
+
+    def loss(mod, p):
+        return jnp.sum(mod.apply(p, x, t) ** 2)
+
+    g = jax.grad(lambda p: loss(m, p))(params)
+    gr = jax.grad(lambda p: loss(mr, p))(params)
+    # atol absorbs recompute float-reordering on near-zero leaves (the
+    # conv proj biases feeding GroupNorms have ~1e-6 true gradients built
+    # from large cancelling sums; measured reorder noise <= 2.6e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=5e-6)
