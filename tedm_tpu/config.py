@@ -156,8 +156,13 @@ class Config:
     # TPU-native extensions (no reference equivalent; SURVEY §2.3)
     mesh_shape: Tuple[int, ...] = ()      # () = all local devices on one 'data' axis
     mesh_axes: Tuple[str, ...] = ("data",)
-    param_sharding: str = "replicated"    # 'replicated' | 'tp' (shard wide convs over 'model' axis)
+    param_sharding: str = "replicated"    # 'replicated' | 'tp' (wide convs over 'model')
+                                          # | 'fsdp' (params+Adam state over 'data', ZeRO-3)
     tp_min_width: int = 256               # TP: only shard kernels with out-channels >= this
+    fsdp_min_size: int = 2 ** 14          # FSDP: only shard leaves with >= this many elements
+    shard_spatial: bool = False           # SP: shard the batch H axis over a 'spatial'
+                                          # mesh axis (conv halo exchange by GSPMD;
+                                          # activation-memory lever for 512²+)
     use_pallas: bool = True               # fused Pallas kernels where available (TPU only)
     use_pallas_groupnorm: bool = False    # fused GroupNorm+FiLM+SiLU kernel (opt-in:
                                           # measured slower at 128² — see docs/DESIGN.md)
@@ -368,9 +373,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_shape", nargs="*", type=int, default=[])
     p.add_argument("--mesh_axes", nargs="*", type=str, default=["data"])
     p.add_argument("--param_sharding", type=str, default=defaults.param_sharding,
-                   choices=["replicated", "tp"])
+                   choices=["replicated", "tp", "fsdp"])
     p.add_argument("--tp_min_width", type=int, default=defaults.tp_min_width,
                    help="TP: only shard kernels whose out-channel dim is >= this")
+    p.add_argument("--fsdp_min_size", type=int, default=defaults.fsdp_min_size,
+                   help="FSDP: only shard param leaves with >= this many elements")
+    p.add_argument("--shard_spatial", action="store_true",
+                   help="SP: shard the batch H axis over a 'spatial' mesh axis "
+                        "(e.g. --mesh_shape 2 4 --mesh_axes data spatial)")
     p.add_argument("--no_pallas", action="store_true", help="disable Pallas kernels")
     p.add_argument("--use_pallas_groupnorm", action="store_true",
                    help="fused GroupNorm+FiLM+SiLU kernel (opt-in; re-measure per shape)")

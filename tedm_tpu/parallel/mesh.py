@@ -11,9 +11,25 @@ Design (SURVEY §2.3 "First-class TPU-native equivalents to build"):
   through the conv/matmul and inserts all-gathers/reduce-scatters where
   profitable. For the 36M-param UNet this is optional but the axis is
   first-class so larger ``dim`` scales without code changes.
+* FSDP (ZeRO-3 the GSPMD way): params AND Adam moments are sharded over
+  the ``data`` axis itself (largest divisible dim per leaf); XLA
+  all-gathers each weight just-in-time for its op and reduce-scatters its
+  gradient, so per-chip param+optimizer memory drops ~1/N with no wrapper
+  classes, no bucketing code, no hooks — the sharding annotation IS the
+  implementation.
+* SP (spatial partitioning): batches can additionally shard their H axis
+  over a ``spatial`` mesh axis; XLA partitions the convolutions with
+  automatic halo exchange. This is the activation-memory lever for 512²+
+  training, composable with DP (mesh ('data','spatial')) — activations
+  per chip shrink by the spatial factor where attention permits.
 * Multi-host: ``make_mesh`` uses all addressable+global devices via
   ``jax.devices()``; per-host data sharding lives in the input pipeline
   (tedm_tpu/data), which feeds each host only its shard.
+
+The reference has no distributed layer at all (SURVEY §2.3: no
+torch.distributed/DDP/ZeRO anywhere); all four modes here are TPU-native
+capabilities built on one mechanism — NamedSharding annotations consumed
+by GSPMD — rather than four code paths.
 """
 
 from __future__ import annotations
@@ -77,14 +93,41 @@ def param_shardings(
     mode: str = "replicated",
     tp_axis: str = "model",
     tp_min_width: int = 256,
+    fsdp_axis: str = "data",
+    fsdp_min_size: int = 2 ** 14,
 ) -> Any:
     """A pytree of NamedShardings matching ``params``.
 
     ``replicated``: every leaf replicated (pure DP).
     ``tp``: leaves whose trailing (out-channel) dim is divisible by the
     ``model`` axis size and >= ``tp_min_width`` are sharded on that dim.
+    ``fsdp``: every leaf with >= ``fsdp_min_size`` elements is sharded over
+    the ``data`` axis on its largest divisible dim (ZeRO-3: GSPMD
+    all-gathers weights just-in-time per op and reduce-scatters grads;
+    applying the same rule to the Adam mu/nu trees shards optimizer state
+    identically, which is where the memory win lives). Small leaves
+    (biases, norm scales, time-MLP vectors) stay replicated — sharding
+    them buys bytes in the KB range and costs a collective each.
     """
-    if mode == "replicated" or tp_axis not in mesh.axis_names:
+    if mode == "fsdp" and fsdp_axis in mesh.axis_names:
+        n = mesh.shape[fsdp_axis]
+
+        def fsdp_rule(leaf):
+            if (
+                hasattr(leaf, "ndim")
+                and leaf.ndim >= 1
+                and int(np.prod(leaf.shape)) >= fsdp_min_size
+            ):
+                divisible = [i for i in range(leaf.ndim) if leaf.shape[i] % n == 0]
+                if divisible:
+                    ax = max(divisible, key=lambda i: leaf.shape[i])
+                    spec = [None] * leaf.ndim
+                    spec[ax] = fsdp_axis
+                    return NamedSharding(mesh, P(*spec))
+            return replicated_sharding(mesh)
+
+        return jax.tree_util.tree_map(fsdp_rule, params)
+    if mode != "tp" or tp_axis not in mesh.axis_names:
         return jax.tree_util.tree_map(lambda _: replicated_sharding(mesh), params)
     tp = mesh.shape[tp_axis]
 
@@ -109,17 +152,25 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
 
 
 def data_parallel_setup(config, batch_size: int):
-    """Trainer-side DP(+TP) wiring: returns (shard_batch_fn, put_params_fn).
+    """Trainer-side DP(+TP/FSDP/SP) wiring: returns (shard_batch_fn,
+    put_params_fn).
 
     With >1 device and a divisible batch, builds the mesh from
     config.mesh_shape/mesh_axes (default: all devices on 'data') and shards
     array leading axes over 'data'. Params/optimizer state go through the
-    second function: replicated by default, or sharded over the 'model'
-    axis when ``config.param_sharding == 'tp'`` (wide out-channel kernels
-    per ``param_shardings``; Adam mu/nu mirror the param tree so the same
-    rule shards them consistently). Otherwise both functions are identity
-    (single chip, or indivisible batch — the divisibility constraint is
-    fundamental to even SPMD sharding)."""
+    second function: replicated by default, sharded over the 'model' axis
+    when ``config.param_sharding == 'tp'`` (wide out-channel kernels per
+    ``param_shardings``), or sharded over the 'data' axis itself when
+    ``config.param_sharding == 'fsdp'`` (ZeRO-3; Adam mu/nu mirror the
+    param tree so the same rule shards them consistently). With
+    ``config.shard_spatial`` and a 'spatial' mesh axis, image batches
+    additionally shard their H axis over 'spatial' (XLA partitions convs
+    with halo exchange — the activation-memory lever for 512²+; note the
+    Pallas attention custom-calls are not spatially partitionable, so SP
+    pairs with ``--no_pallas`` or the per-shape VMEM gates falling back).
+    Otherwise both functions are identity (single chip, or indivisible
+    batch — the divisibility constraint is fundamental to even SPMD
+    sharding)."""
     import jax as _jax
 
     mode = getattr(config, "param_sharding", "replicated")
@@ -132,6 +183,13 @@ def data_parallel_setup(config, batch_size: int):
             "--param_sharding tp needs a 'model' mesh axis, e.g. "
             "--mesh_shape 4 2 --mesh_axes data model"
         )
+    spatial = getattr(config, "shard_spatial", False)
+    if spatial and "spatial" not in mesh.axis_names:
+        raise ValueError(
+            "--shard_spatial needs a 'spatial' mesh axis, e.g. "
+            "--mesh_shape 2 4 --mesh_axes data spatial"
+        )
+    sp_size = mesh.shape.get("spatial", 1) if spatial else 1
     # batch_size is PER-HOST; the global batch is batch_size*process_count,
     # so even sharding needs the host batch divisible by the host's share
     # of the mesh's 'data' axis (a 2D mesh replicates the batch over
@@ -145,6 +203,10 @@ def data_parallel_setup(config, batch_size: int):
         return (lambda x: x), (lambda x: x)
     b_sh = batch_sharding(mesh)
     r_sh = replicated_sharding(mesh)
+    # SP: (B, H, W, C) image batches shard H over 'spatial' on top of the
+    # batch axis. Rank-aware spec (images are ndim>=3 here; (B,) valid
+    # masks and (B,) timesteps keep the plain batch sharding).
+    sp_sh = NamedSharding(mesh, P("data", "spatial")) if sp_size > 1 else None
 
     multihost = _jax.process_count() > 1
 
@@ -157,22 +219,30 @@ def data_parallel_setup(config, batch_size: int):
         # sharding would either error or drop the other hosts' rows.
         def put(x):
             if getattr(x, "ndim", 0) >= 1 and x.shape[0] == batch_size:
+                sh = b_sh
+                if (
+                    sp_sh is not None
+                    and x.ndim >= 3
+                    and x.shape[1] % sp_size == 0
+                ):
+                    sh = sp_sh
                 if multihost:
                     return _jax.make_array_from_process_local_data(
-                        b_sh, np.asarray(x)
+                        sh, np.asarray(x)
                     )
-                return _jax.device_put(x, b_sh)
+                return _jax.device_put(x, sh)
             return _jax.device_put(x, r_sh)
 
         return _jax.tree_util.tree_map(put, tree)
 
     def replicate(tree):
-        if mode == "tp":
+        if mode in ("tp", "fsdp"):
             return _jax.device_put(
                 tree,
                 param_shardings(
-                    tree, mesh, mode="tp",
+                    tree, mesh, mode=mode,
                     tp_min_width=getattr(config, "tp_min_width", 256),
+                    fsdp_min_size=getattr(config, "fsdp_min_size", 2 ** 14),
                 ),
             )
         return _jax.device_put(tree, r_sh)

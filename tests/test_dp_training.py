@@ -55,6 +55,49 @@ def test_diffusion_tp_loss_parity(tmp_path):
         assert abs(a - b) < 1e-4 * max(abs(a), 1.0), (l_rep, l_tp)
 
 
+def test_diffusion_fsdp_loss_parity(tmp_path):
+    """--param_sharding fsdp through the real trainer CLI: params + Adam
+    moments sharded over the 'data' axis itself (ZeRO-3 via GSPMD) must
+    reproduce the replicated run's losses."""
+    common = [
+        "--experiment", "img_only", "--max_steps", "6", "--val_freq", "6",
+        "--log_freq", "2",
+    ] + ARGS
+    train_main(common + ["--log_dir", str(tmp_path / "rep")])
+    l_rep = _train_losses(str(tmp_path / "CXR14" / "rep"))
+
+    train_main(common + [
+        "--log_dir", str(tmp_path / "fsdp"),
+        "--param_sharding", "fsdp", "--fsdp_min_size", "64",
+    ])
+    l_fsdp = _train_losses(str(tmp_path / "CXR14" / "fsdp"))
+    assert len(l_rep) == len(l_fsdp) == 3
+    for a, b in zip(l_rep, l_fsdp):
+        assert abs(a - b) < 1e-4 * max(abs(a), 1.0), (l_rep, l_fsdp)
+
+
+def test_diffusion_spatial_loss_parity(tmp_path):
+    """--shard_spatial through the real trainer CLI: a ('data','spatial')
+    2x4 mesh sharding the batch H axis (conv halo exchange by GSPMD) must
+    reproduce the replicated run's losses."""
+    common = [
+        "--experiment", "img_only", "--max_steps", "6", "--val_freq", "6",
+        "--log_freq", "2",
+    ] + ARGS
+    train_main(common + ["--log_dir", str(tmp_path / "rep")])
+    l_rep = _train_losses(str(tmp_path / "CXR14" / "rep"))
+
+    train_main(common + [
+        "--log_dir", str(tmp_path / "sp"),
+        "--mesh_shape", "2", "4", "--mesh_axes", "data", "spatial",
+        "--shard_spatial",
+    ])
+    l_sp = _train_losses(str(tmp_path / "CXR14" / "sp"))
+    assert len(l_rep) == len(l_sp) == 3
+    for a, b in zip(l_rep, l_sp):
+        assert abs(a - b) < 1e-4 * max(abs(a), 1.0), (l_rep, l_sp)
+
+
 def test_baseline_dp_and_resume(tmp_path):
     train_main([
         "--experiment", "baseline", "--n_labelled_images", "24",

@@ -104,6 +104,110 @@ def test_data_parallel_setup_tp_product_path():
     assert batch["image"].sharding.spec == P("data")
 
 
+def test_param_shardings_fsdp_rules():
+    """FSDP shards every big-enough leaf over 'data' on its largest
+    divisible dim; small leaves (biases, norm scales) stay replicated."""
+    mesh = make_mesh()  # (8,) 'data'
+    params = {
+        "conv": jnp.zeros((3, 3, 64, 128)),   # largest divisible dim: 128
+        "dense": jnp.zeros((48, 512)),        # largest divisible dim: 512
+        "odd": jnp.zeros((129, 129)),         # nothing divisible by 8
+        "bias": jnp.zeros((128,)),            # too small
+    }
+    sh = param_shardings(params, mesh, mode="fsdp", fsdp_min_size=1024)
+    assert sh["conv"].spec == P(None, None, None, "data")
+    assert sh["dense"].spec == P(None, "data")
+    assert sh["odd"].spec == P()
+    assert sh["bias"].spec == P()
+
+
+def test_fsdp_loss_and_grads_match_replicated():
+    """ZeRO-3 sharding is numerics-neutral: UNet loss AND grads on params
+    sharded over the same 'data' axis as the batch must match the
+    replicated run (GSPMD all-gathers weights, reduce-scatters grads)."""
+    from tedm_tpu.models.unet import Unet
+
+    mesh = make_mesh()
+    unet = Unet(dim=8, dim_mults=(1, 2), channels=1)
+    params = unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)), jnp.zeros((1,), jnp.int32)
+    )["params"]
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 1))
+    t = jnp.zeros((8,), jnp.int32)
+
+    def loss(p, x, t):
+        return jnp.mean(jnp.square(unet.apply({"params": p}, x, t)))
+
+    ref_l, ref_g = jax.jit(jax.value_and_grad(loss))(params, x, t)
+    shardings = param_shardings(params, mesh, "fsdp", fsdp_min_size=64)
+    specs = [s.spec for s in jax.tree_util.tree_leaves(shardings)]
+    assert any(sp != P() for sp in specs), "no leaf sharded — test is vacuous"
+    p_sh = jax.device_put(params, shardings)
+    x_sh = jax.device_put(x, batch_sharding(mesh))
+    got_l, got_g = jax.jit(jax.value_and_grad(loss))(p_sh, x_sh, t)
+    assert abs(float(got_l) - float(ref_l)) < 1e-5 * max(abs(float(ref_l)), 1.0)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_g), jax.tree_util.tree_leaves(got_g)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-4)
+
+
+def test_data_parallel_setup_fsdp_product_path():
+    """--param_sharding fsdp through the trainers' wiring: params AND a
+    mirrored Adam-moment tree shard over 'data'; per-device bytes shrink."""
+    from tedm_tpu.config import Config
+    from tedm_tpu.parallel import data_parallel_setup
+
+    cfg = Config(param_sharding="fsdp", fsdp_min_size=1024)
+    shard, put_params = data_parallel_setup(cfg, batch_size=8)
+    tree = {"w": jnp.zeros((3, 3, 16, 64)), "b": jnp.zeros((64,))}
+    placed = put_params(tree)
+    assert placed["w"].sharding.spec == P(None, None, None, "data")
+    assert placed["b"].sharding.spec == P()
+    # the memory claim: each device holds 1/8 of the sharded leaf
+    shard_bytes = placed["w"].addressable_shards[0].data.nbytes
+    assert shard_bytes * 8 == placed["w"].nbytes
+
+
+def test_spatial_sharded_loss_matches_replicated():
+    """--shard_spatial: batch H sharded over a 'spatial' axis on top of DP.
+    GSPMD partitions the convs with halo exchange; the UNet loss must match
+    the unsharded run (reduction-order noise only)."""
+    from tedm_tpu.config import Config
+    from tedm_tpu.models.unet import Unet
+    from tedm_tpu.parallel import data_parallel_setup
+
+    unet = Unet(dim=8, dim_mults=(1, 2), channels=1)
+    params = unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)), jnp.zeros((1,), jnp.int32)
+    )["params"]
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 1)))
+    t = jnp.zeros((8,), jnp.int32)
+
+    def loss(p, x, t):
+        return jnp.mean(jnp.square(unet.apply({"params": p}, x, t)))
+
+    ref = float(jax.jit(loss)(params, x, t))
+
+    cfg = Config(mesh_shape=(2, 4), mesh_axes=("data", "spatial"),
+                 shard_spatial=True)
+    shard, put_params = data_parallel_setup(cfg, batch_size=8)
+    batch = shard({"image": x, "t": np.zeros((8,), np.int32)})
+    assert batch["image"].sharding.spec == P("data", "spatial")
+    assert batch["t"].sharding.spec == P("data")  # rank-aware: no H axis
+    got = float(jax.jit(loss)(put_params(params), batch["image"], batch["t"]))
+    assert abs(got - ref) < 1e-5 * max(abs(ref), 1.0)
+
+
+def test_data_parallel_setup_spatial_requires_axis():
+    import pytest
+
+    from tedm_tpu.config import Config
+    from tedm_tpu.parallel import data_parallel_setup
+
+    cfg = Config(shard_spatial=True)  # default mesh has no 'spatial' axis
+    with pytest.raises(ValueError, match="spatial"):
+        data_parallel_setup(cfg, batch_size=8)
+
+
 def test_data_parallel_setup_tp_requires_model_axis():
     import pytest
 
