@@ -89,10 +89,13 @@ def main() -> None:
         _, lasts = jax.lax.scan(body, r, None, length=reps)
         return lasts
 
-    # Warmup/compile.
-    run_reps(jax.random.PRNGKey(1)).block_until_ready()
+    # Warmup/compile. jax.device_get (not block_until_ready) is the sync:
+    # on this stack block_until_ready can return without waiting (r4
+    # harness fix, see CLAUDE.md) — a host transfer of the (reps,) output
+    # is a true wait and costs nothing at this size.
+    jax.device_get(run_reps(jax.random.PRNGKey(1)))
     t0 = time.perf_counter()
-    run_reps(jax.random.PRNGKey(2)).block_until_ready()
+    jax.device_get(run_reps(jax.random.PRNGKey(2)))
     dt = (time.perf_counter() - t0) / reps
 
     steps_per_sec = batch * scan_steps / dt / max(n_chips, 1)

@@ -55,22 +55,26 @@ def bench_fwd(name, img, batch, iters, record, **unet_kw):
     unet, params = build(img, jnp.bfloat16, **unet_kw)
     t = jnp.zeros((batch,), jnp.int32)
 
+    # r4 HARNESS FIX: the jit returns an IN-JIT SCALAR and timing syncs via
+    # float(). On this stack block_until_ready can return WITHOUT waiting
+    # for large outputs (measured: a 300-step scan with an 8 MB result
+    # "blocked" in 0.8 ms while the execution took ~30 s) — only a host
+    # transfer is a true sync. Inputs come from the key so warmup/timed
+    # runs are distinct executions (no in-flight dedupe).
     @jax.jit
-    def loop(x):
+    def loop(key):
+        x = jax.random.normal(key, (batch, img, img, 1), jnp.bfloat16)
         def body(c, _):
             y = unet.apply({"params": params}, c, t)
             return y.astype(c.dtype), ()
         y, _ = jax.lax.scan(body, x, None, length=iters)
-        return y
+        return y.astype(jnp.float32).mean()
 
-    x = jax.device_put(
-        np.random.RandomState(0).randn(batch, img, img, 1).astype(np.float32)
-    ).astype(jnp.bfloat16)
     t0 = time.perf_counter()
-    loop(x).block_until_ready()
+    float(loop(jax.random.PRNGKey(1)))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    loop(x).block_until_ready()
+    float(loop(jax.random.PRNGKey(2)))
     dt = (time.perf_counter() - t0) / iters
     record(f"fwd/{name}", img, batch, dt, compile_s)
 
@@ -83,15 +87,17 @@ def bench_sampling(img, batch, steps, record):
     sched = make_schedule(steps, "cosine")
     apply_fn = lambda x, t: unet.apply({"params": params}, x, t)
 
+    # scalar-out + float() sync: see bench_fwd's r4 harness-fix comment
     @jax.jit
     def run(r):
-        return sample_loop(apply_fn, sched, r, (batch, img, img, 1))
+        y = sample_loop(apply_fn, sched, r, (batch, img, img, 1))
+        return jnp.asarray(y, jnp.float32).mean()
 
     t0 = time.perf_counter()
-    run(jax.random.PRNGKey(1)).block_until_ready()
+    float(run(jax.random.PRNGKey(1)))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    run(jax.random.PRNGKey(2)).block_until_ready()
+    float(run(jax.random.PRNGKey(2)))
     dt = (time.perf_counter() - t0) / steps
     record("sample/default", img, batch, dt, compile_s,
            steps_per_sec_per_chip=batch * steps / (dt * steps))
@@ -141,13 +147,16 @@ def bench_train(img, batch, iters, record, remat=False, tx=None, name=None):
 
     x = jax.device_put(
         np.random.RandomState(0).randn(batch, img, img, 1).astype(np.float32))
+    # float(ls[-1]) = true host sync (see bench_fwd's r4 harness-fix
+    # comment); the donated params/opt_state chain already makes the two
+    # runs distinct executions
     t0 = time.perf_counter()
     params, opt_state, ls = run(params, opt_state, x)
-    jax.block_until_ready(ls)
+    float(ls[-1])
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     params, opt_state, ls = run(params, opt_state, x)
-    jax.block_until_ready(ls)
+    float(ls[-1])
     dt = (time.perf_counter() - t0) / iters
     record(name or ("train/remat" if remat else "train/default"), img,
            batch, dt, compile_s, imgs_per_sec=batch / dt)

@@ -91,7 +91,12 @@ def sampling_program(batch=8, steps=1000, img=128):
 
     @jax.jit
     def run(r):
-        return sample_loop(apply_fn, sched, r, (batch, img, img, 1))
+        y = sample_loop(apply_fn, sched, r, (batch, img, img, 1))
+        # scalar out: block_until_ready can return early for large outputs
+        # on this stack (r4 harness fix; see bench_shapes.bench_fwd) — the
+        # mean is negligible in the cost analysis and makes the float()
+        # sync in time_and_cost a true wait
+        return jnp.asarray(y, jnp.float32).mean()
 
     return run, (jax.random.PRNGKey(0),)
 
@@ -155,9 +160,12 @@ def measure(name, run, args, per_div):
     lowered = run.lower(*args)
     exe = lowered.compile()  # the ONE compile; executed via AOT below
     flops, bytes_ = cost_of(lowered, exe)
-    jax.block_until_ready(exe(*args))  # warmup/dispatch
+    # device_get = true host sync; block_until_ready alone can return
+    # early on this stack (r4 harness fix — programs here end in small
+    # outputs so the transfer cost is nil)
+    jax.device_get(exe(*args))  # warmup/dispatch
     t0 = time.perf_counter()
-    jax.block_until_ready(exe(*args))
+    jax.device_get(exe(*args))
     dt = time.perf_counter() - t0
     rec = derive(dt, flops, bytes_, per_div)
     for k, v in rec.items():
