@@ -162,6 +162,69 @@ def bench_train(img, batch, iters, record, remat=False, tx=None, name=None):
            batch, dt, compile_s, imgs_per_sec=batch / dt)
 
 
+def bench_train_accum(img, batch, accum, iters, record, remat=False):
+    """--grad_accum through the PRODUCT step (trainers.diffusion.make_steps):
+    the global batch scanned as `accum` microbatches inside one jitted step.
+    The point at 512²+: a global batch that OOMs HBM even under block remat
+    (only b4 fits at 512²) trains at ~unchanged imgs/s by keeping one
+    microbatch's activations live at a time. Honest harness: iters steps
+    chained in one jit (donated carry), float() sync."""
+    import optax
+
+    from tedm_tpu.config import Config
+    from tedm_tpu.ops.schedules import make_schedule
+    from tedm_tpu.trainers import diffusion as D
+
+    config = Config(
+        experiment="img_only", img_size=img, batch_size=batch,
+        grad_accum=accum, remat=remat, mixed_precision=True, timesteps=1000,
+    )
+    unet = D.build_model(config)
+    with jax.default_device(jax.devices("cpu")[0]):
+        cpu = unet.clone(use_pallas=False, use_pallas_groupnorm=False,
+                         use_pallas_resblock=False, use_pallas_flash=False)
+        params = cpu.init(jax.random.PRNGKey(0),
+                          np.zeros((1, img, img, 1), np.float32),
+                          np.zeros((1,), np.int32))["params"]
+    params = jax.device_put(params, jax.devices()[0])
+    sched = make_schedule(1000, "cosine")
+    tx = optax.adam(1e-4)
+    with jax.default_device(jax.devices("cpu")[0]):
+        # shape-only init on CPU (Adam's init state is all-zeros anyway)
+        opt_state = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(tx.init, params))
+    opt_state = jax.device_put(opt_state, jax.devices()[0])
+    train_step, _, _ = D.make_steps(config, unet, sched, tx)
+
+    cond = np.zeros((1,), np.float32)
+    valid = np.ones((batch,), np.float32)
+    key = jax.random.PRNGKey(0)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run(p, o, x):
+        def body(c, i):
+            p, o = c
+            p, o, l, _ = train_step(p, o, x, cond, valid,
+                                    jax.random.fold_in(key, i))
+            return (p, o), l
+        (p, o), ls = jax.lax.scan(body, (p, o), jnp.arange(iters))
+        return p, o, ls
+
+    x = jax.device_put(
+        np.random.RandomState(0).randn(batch, img, img, 1).astype(np.float32))
+    t0 = time.perf_counter()
+    params, opt_state, ls = run(params, opt_state, x)
+    float(ls[-1])
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    params, opt_state, ls = run(params, opt_state, x)
+    float(ls[-1])
+    dt = (time.perf_counter() - t0) / iters
+    record(f"train/accum{accum}" + ("_remat" if remat else ""), img, batch,
+           dt, compile_s, imgs_per_sec=batch / dt)
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=256)
@@ -176,8 +239,12 @@ def main(argv=None) -> None:
     ap.add_argument("--train_remat", action="store_true",
                     help="jax.checkpoint the UNet in the train step "
                     "(required to fit 512^2: OOM at any batch without it)")
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help=">1 adds a train/accum{N} row: the product "
+                    "--grad_accum step (microbatch scan) at --train_batch")
     ap.add_argument("--only", nargs="*", default=None,
-                    help="subset: default no_pallas gn resblock flash sample train")
+                    help="subset: default no_pallas gn resblock flash "
+                    "sample train accum")
     args = ap.parse_args(argv)
 
     out_path = os.path.join(REPO, "BENCH_shapes.jsonl")
@@ -224,6 +291,9 @@ def main(argv=None) -> None:
     if want("train"):
         go(bench_train, args.img, args.train_batch, 20, record,
            remat=args.train_remat)
+    if want("accum") and args.grad_accum > 1:  # opt-in: needs --grad_accum N
+        go(bench_train_accum, args.img, args.train_batch, args.grad_accum,
+           20, record, remat=args.train_remat)
     if failures:
         raise SystemExit(f"{len(failures)} gate(s) failed: {failures}")
 

@@ -187,6 +187,13 @@ class Config:
                                           # required to train 512²+)
                                           # (trade ~1 extra fwd for O(1) activation memory;
                                           # enables larger batch/resolution)
+    grad_accum: int = 1                   # gradient accumulation: split the
+                                          # global batch into N microbatches
+                                          # scanned inside the ONE jitted
+                                          # step (activation memory ~1/N;
+                                          # identical masked-mean loss/grads
+                                          # to the full batch up to float
+                                          # reassociation)
 
     # ---------------------------------------------------------------- helpers
 
@@ -199,6 +206,14 @@ class Config:
             raise ValueError(
                 f"ema_decay must be in [0, 1), got {self.ema_decay} "
                 "(>= 1.0 would freeze the EMA at the init weights)"
+            )
+        if self.grad_accum < 1:
+            raise ValueError(f"grad_accum must be >= 1, got {self.grad_accum}")
+        if self.grad_accum > 1 and self.batch_size % self.grad_accum != 0:
+            raise ValueError(
+                f"batch_size ({self.batch_size}) must be divisible by "
+                f"grad_accum ({self.grad_accum}) — microbatches are a "
+                "static reshape of the global batch"
             )
 
     def replace(self, **kw: Any) -> "Config":
@@ -405,6 +420,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "512^2+ training in HBM)")
     p.add_argument("--ddim_steps", type=int, default=0,
                    help="DDIM fast sampling steps (0 = full ancestral)")
+    p.add_argument("--grad_accum", type=int, default=defaults.grad_accum,
+                   help="accumulate gradients over N microbatches scanned "
+                        "inside the jitted train step (activation memory "
+                        "~1/N at the same global batch; composes with "
+                        "--remat and every sharding mode)")
     return p
 
 

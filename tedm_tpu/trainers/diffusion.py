@@ -131,12 +131,67 @@ def make_steps(config: Config, unet: Unet, sched, tx):
         return out, jnp.zeros((1,), jnp.float32)
 
     ema_decay = float(config.ema_decay)
+    accum = int(config.grad_accum)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    ch_width = x_ch if split_channels else 1
+
+    def grads_and_metrics(params, x, cond, valid, rng):
+        """(grads, loss, ch_losses) for the global batch.
+
+        ``--grad_accum N`` scans N microbatches inside the SAME jitted
+        step, so only one microbatch's activations are ever live (~1/N
+        activation memory at the same global batch; composes with --remat
+        and every sharding mode — the microbatch axis is a static reshape,
+        so GSPMD keeps the 'data' sharding on each slice). Each microbatch
+        loss is the masked mean over ITS valid rows; re-weighting by the
+        per-microbatch valid count makes the accumulated loss and grads
+        exactly the global masked mean (up to float reassociation) — the
+        identity tests/test_dp_training.py pins. RNG is folded per
+        microbatch so t/noise draws stay independent across the batch."""
+        if accum <= 1:
+            (loss, ch_losses), grads = grad_fn(params, x, cond, valid, rng)
+            return grads, loss, ch_losses
+        mb = x.shape[0] // accum
+        xs = x.reshape((accum, mb) + x.shape[1:])
+        vs = valid.astype(jnp.float32).reshape(accum, mb)
+        cs = (
+            cond.reshape((accum, mb) + cond.shape[1:])
+            if conditional
+            else jnp.broadcast_to(cond, (accum,) + cond.shape)
+        )
+
+        def body(carry, inp):
+            g_sum, l_sum, ch_sum, d_sum = carry
+            x_i, c_i, v_i, i = inp
+            (loss_i, ch_i), g_i = grad_fn(
+                params, x_i, c_i, v_i, jax.random.fold_in(rng, i)
+            )
+            # w_i is the microbatch's own masked-mean denominator
+            # (max(valid.sum(), 1) in train_loss): loss_i * w_i recovers the
+            # un-normalized per-row sum, so Σ w_i·loss_i / Σ valid is the
+            # global masked mean exactly (an all-padding microbatch
+            # contributes 0 either way).
+            w_i = jnp.maximum(v_i.sum(), 1.0)
+            g_sum = jax.tree_util.tree_map(lambda a, g: a + w_i * g, g_sum, g_i)
+            return (g_sum, l_sum + w_i * loss_i, ch_sum + w_i * ch_i,
+                    d_sum + v_i.sum()), None
+
+        init = (
+            jax.tree_util.tree_map(jnp.zeros_like, params),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((ch_width,), jnp.float32),
+            jnp.zeros((), jnp.float32),
+        )
+        (g_sum, l_sum, ch_sum, d_sum), _ = jax.lax.scan(
+            body, init, (xs, cs, vs, jnp.arange(accum))
+        )
+        denom = jnp.maximum(d_sum, 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g / denom, g_sum)
+        return grads, l_sum / denom, ch_sum / denom
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, x, cond, valid, rng):
-        (loss, ch_losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, x, cond, valid, rng
-        )
+        grads, loss, ch_losses = grads_and_metrics(params, x, cond, valid, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss, ch_losses
 
@@ -146,9 +201,7 @@ def make_steps(config: Config, unet: Unet, sched, tx):
     # jit would pay an extra dispatch per step through the axon tunnel).
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step_ema(params, opt_state, ema_params, x, cond, valid, rng):
-        (loss, ch_losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, x, cond, valid, rng
-        )
+        grads, loss, ch_losses = grads_and_metrics(params, x, cond, valid, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         ema_params = jax.tree_util.tree_map(
