@@ -43,6 +43,20 @@ def dispatch(config: Config) -> None:
         mains["glob_loc_finetune"] = contrastive.main_finetune
     if config.experiment not in mains:
         raise ValueError(f"unknown experiment {config.experiment}")
+    if config.grad_accum > 1 and mains[config.experiment] is not diffusion.main:
+        # Fail fast instead of silently ignoring the flag: the supervised/
+        # CL loops thread BatchNorm batch_stats through the step, so a
+        # microbatch scan would CHANGE the normalization statistics (BN
+        # stats over mb rows, not the global batch) — accumulation there
+        # is not the exact-identity contract --grad_accum promises
+        # (docs/DESIGN.md "Gradient accumulation"). Only the diffusion
+        # trainers (stateless UNet) consume it.
+        raise ValueError(
+            f"--grad_accum is only supported for the diffusion experiments "
+            f"(img_only/joint/conditional/joint_and_cond), not "
+            f"{config.experiment!r}: its head uses BatchNorm, whose batch "
+            "statistics are not microbatch-decomposable"
+        )
     if config.multihost:
         import os
 

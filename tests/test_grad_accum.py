@@ -138,3 +138,14 @@ def test_grad_accum_config_validation():
     with pytest.raises(ValueError):
         _small_config(grad_accum=3)  # batch_size 8 not divisible
     assert _small_config(grad_accum=2).grad_accum == 2
+
+
+def test_grad_accum_rejected_for_batchnorm_trainers():
+    """Non-diffusion experiments fail fast instead of silently ignoring the
+    flag: their heads use BatchNorm, whose batch statistics are not
+    microbatch-decomposable (train.py dispatch guard)."""
+    from tedm_tpu.train import dispatch
+
+    for exp in ("baseline", "TEDM", "global_cl"):
+        with pytest.raises(ValueError, match="grad_accum"):
+            dispatch(_small_config(experiment=exp, grad_accum=2))
