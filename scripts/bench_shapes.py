@@ -292,8 +292,14 @@ def main(argv=None) -> None:
         go(bench_train, args.img, args.train_batch, 20, record,
            remat=args.train_remat)
     if want("accum") and args.grad_accum > 1:  # opt-in: needs --grad_accum N
+        # 512^2 accum4 b16 is ~3.4 s/step: 20 iters = ~68 s in ONE device
+        # execution, which reproducibly crashes the tunnel's TPU worker
+        # ("UNAVAILABLE: TPU worker process crashed"); the compiled program
+        # itself is fine (memory_analysis: 13.1 GB of 16). Keep each
+        # execution under ~20 s like every other recorded row.
+        accum_iters = 20 if args.img < 512 else 5
         go(bench_train_accum, args.img, args.train_batch, args.grad_accum,
-           20, record, remat=args.train_remat)
+           accum_iters, record, remat=args.train_remat)
     if failures:
         raise SystemExit(f"{len(failures)} gate(s) failed: {failures}")
 
