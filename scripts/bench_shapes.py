@@ -291,6 +291,13 @@ def main(argv=None) -> None:
     if want("train"):
         go(bench_train, args.img, args.train_batch, 20, record,
            remat=args.train_remat)
+    if want("accum") and args.grad_accum <= 1:
+        # ADVICE r4: --only accum with grad_accum=1 would silently record
+        # nothing and read as a passing-but-empty bench run.
+        if args.only and "accum" in args.only:  # --only is a list (nargs=*)
+            raise SystemExit(
+                "--only accum requires --grad_accum N (N > 1); got "
+                f"--grad_accum {args.grad_accum}")
     if want("accum") and args.grad_accum > 1:  # opt-in: needs --grad_accum N
         # 512^2 accum4 b16 is ~3.4 s/step: 20 iters = ~68 s in ONE device
         # execution, which reproducibly crashes the tunnel's TPU worker

@@ -190,10 +190,14 @@ class Config:
     grad_accum: int = 1                   # gradient accumulation: split the
                                           # global batch into N microbatches
                                           # scanned inside the ONE jitted
-                                          # step (activation memory ~1/N;
-                                          # identical masked-mean loss/grads
-                                          # to the full batch up to float
-                                          # reassociation)
+                                          # step (activation memory ~1/N).
+                                          # Loss/grads equal the GLOBAL
+                                          # masked mean over the same
+                                          # per-microbatch t/noise draws (up
+                                          # to float reassociation) — NOT
+                                          # bit-identical to a grad_accum=1
+                                          # run at the same seed, since RNG
+                                          # is folded per microbatch.
 
     # ---------------------------------------------------------------- helpers
 

@@ -146,7 +146,7 @@ def make_steps(config: Config, unet: Unet, sched, tx):
         loss is the masked mean over ITS valid rows; re-weighting by the
         per-microbatch valid count makes the accumulated loss and grads
         exactly the global masked mean (up to float reassociation) — the
-        identity tests/test_dp_training.py pins. RNG is folded per
+        identity tests/test_grad_accum.py pins. RNG is folded per
         microbatch so t/noise draws stay independent across the batch."""
         if accum <= 1:
             (loss, ch_losses), grads = grad_fn(params, x, cond, valid, rng)
