@@ -189,6 +189,27 @@ def data_parallel_setup(config, batch_size: int):
             "--shard_spatial needs a 'spatial' mesh axis, e.g. "
             "--mesh_shape 2 4 --mesh_axes data spatial"
         )
+    if spatial and (mode in ("tp", "fsdp") or "spatial2" in mesh.axis_names):
+        # Measured miscompile (r5, docs/DESIGN.md "Sharding composition
+        # limits"): XLA's SPMD partitioner (jax 0.9.0, CPU backend)
+        # produces WRONG conv backward passes whenever a convolution's
+        # partitioning spans TWO non-batch factors — grad rel-l2 error vs
+        # single-device: 2.4 (tp + H-spatial), 0.054 (fsdp + H-spatial),
+        # 0.11 (H+W 2-D spatial) — while the forward loss stays
+        # bit-identical, i.e. training silently diverges. Single-factor
+        # partitioning is exact (H-only 6.5e-7, W-only 5.5e-7, tp-only,
+        # fsdp-only). oneDNN on/off does not change the numbers (ruled
+        # out). SP therefore composes only with replicated params and one
+        # spatial axis; TP/FSDP compose with plain DP.
+        raise ValueError(
+            "--shard_spatial composes only with replicated params and a "
+            f"single spatial axis (got param_sharding={mode!r}, mesh axes "
+            f"{mesh.axis_names}): XLA's SPMD partitioner miscompiles the "
+            "conv backward when partitioning spans two non-batch factors "
+            "(measured grad error up to 2.4 rel-l2 while the forward "
+            "matches — silent wrong training; docs/DESIGN.md). Use "
+            "data x spatial with replicated params, or TP/FSDP without SP."
+        )
     sp_size = mesh.shape.get("spatial", 1) if spatial else 1
     # batch_size is PER-HOST; the global batch is batch_size*process_count,
     # so even sharding needs the host batch divisible by the host's share

@@ -208,6 +208,30 @@ def test_data_parallel_setup_spatial_requires_axis():
         data_parallel_setup(cfg, batch_size=8)
 
 
+def test_data_parallel_setup_refuses_miscompiled_compositions():
+    """SP x (TP|FSDP) and 2-D spatial must FAIL FAST: XLA's SPMD
+    partitioner miscompiles the conv backward whenever a conv's
+    partitioning spans two non-batch factors (grad rel-l2 up to 2.4 vs
+    single-device while the forward matches bit-exactly — r5 gradient
+    probes, docs/DESIGN.md 'Sharding composition limits'). A silent
+    accept here means silently-wrong training."""
+    import pytest
+
+    from tedm_tpu.config import Config
+    from tedm_tpu.parallel import data_parallel_setup
+
+    for cfg in [
+        Config(mesh_shape=(2, 2, 2), mesh_axes=("data", "model", "spatial"),
+               shard_spatial=True, param_sharding="tp", tp_min_width=32),
+        Config(mesh_shape=(2, 2), mesh_axes=("data", "spatial"),
+               shard_spatial=True, param_sharding="fsdp", fsdp_min_size=64),
+        Config(mesh_shape=(2, 2, 2), mesh_axes=("data", "spatial", "spatial2"),
+               shard_spatial=True),
+    ]:
+        with pytest.raises(ValueError, match="miscompiles"):
+            data_parallel_setup(cfg, batch_size=8)
+
+
 def test_data_parallel_setup_tp_requires_model_axis():
     import pytest
 
