@@ -246,6 +246,12 @@ def main(argv=None) -> None:
                          "(default: <out>/CXR14/run/best_model.pt)")
     ap.add_argument("--skip_baseline", action="store_true")
     ap.add_argument("--skip_tedm", action="store_true")
+    ap.add_argument("--ledm", action="store_true",
+                    help="also run the reference LEDM arm (train_datasetDM "
+                         "with separate per-timestep heads, t_steps_to_save "
+                         "= [50,150,250] — reference train.py:38-40) at each "
+                         "--sizes n, for the cross-framework protocol column "
+                         "(VERDICT r4 #3)")
     ap.add_argument("--normalize_extract", action="store_true",
                     help="mechanism flip (RESULTS_parity.md): normalize x to "
                          "[-1,1] before the reference's feature extraction. "
@@ -389,6 +395,36 @@ def main(argv=None) -> None:
         print(f"=== reference TEDM n={n} eval ===")
         summary["experiments"][f"TEDM/{n}"] = dict(
             evaluate(str(logdir), args.root, shared=True),
+            mechanism=mechanism,
+        )
+        with open(os.path.join(args.out, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+
+    for n in args.sizes if args.ledm else []:
+        print(f"=== reference LEDM n={n} ===")
+        logdir = StrPath(os.path.join(args.out, "LEDM", str(n)))
+        cfg = make_config(
+            ref_config,
+            # 'datasetDM' (the reference's internal chain name) rather than
+            # 'LEDM' so evaluate() can rebuild the model; with
+            # shared_weights_over_timesteps=False the label-repeat gate
+            # (train_baseline.py:30-31) is off either way, so the only
+            # LEDM-specific knob is t_steps_to_save (reference train.py:39)
+            experiment="datasetDM", dataset="JSRT",
+            data_dir=os.path.join(args.root, "JSRT"),
+            img_size=args.img_size, batch_size=args.batch_size,
+            n_labelled_images=n, max_steps=args.head_steps,
+            log_freq=50, val_freq=min(50, args.head_steps), max_val_steps=-1,
+            seed=args.seed,
+            log_dir=logdir, early_stop=False,
+            shared_weights_over_timesteps=False,
+            t_steps_to_save=[50, 150, 250],
+            saved_diffusion_model=backbone_ckpt,
+        )
+        td.main(cfg)
+        print(f"=== reference LEDM n={n} eval ===")
+        summary["experiments"][f"LEDM/{n}"] = dict(
+            evaluate(str(logdir), args.root, shared=False),
             mechanism=mechanism,
         )
         with open(os.path.join(args.out, "summary.json"), "w") as f:

@@ -2,15 +2,22 @@
 torch reference trains on — see export_data.py / run_reference.py) and
 record Dice for the head-to-head.
 
-Chain: img_only backbone -> baseline + TEDM at n in --sizes -> run_tests /
-testing_shared_weights eval over JSRT_val/JSRT_test/NIH/Montgomery.
-Everything goes through the stock CLI (tedm_tpu.train) and eval harnesses;
-the only parity-specific wiring is --data_dir/--splits_dir pointing at the
-export.
+Chain: img_only backbone -> heads in --experiments at n in --sizes ->
+run_tests / testing_shared_weights eval over JSRT_val/JSRT_test/NIH/
+Montgomery. Everything goes through the stock CLI (tedm_tpu.train) and
+eval harnesses; the only parity-specific wiring is --data_dir/--splits_dir
+pointing at the export.
+
+--experiments covers the paper's full protocol (VERDICT r4 #3; reference
+print_tests_shared_weights.py:16,42,89): baseline, LEDM, LEDMe, TEDM, and
+Step_<t> (the PDDM per-timestep probe at single timestep t, the
+reference's Step_N dirs — datasetDM_per_step.py via --experiment PDDM
+--t_steps_to_save t).
 
     python scripts/parity/run_tpu.py --root /tmp/tedm_parity \
         --out /tmp/tedm_parity/tpu_logs --img_size 64 \
-        --backbone_steps 800 --head_steps 300 --sizes 1 3 [--platform cpu]
+        --backbone_steps 800 --head_steps 300 --sizes 1 3 6 12 \
+        --experiments baseline LEDM LEDMe TEDM Step_1 [--platform cpu]
 """
 
 from __future__ import annotations
@@ -56,6 +63,11 @@ def main(argv=None) -> None:
     ap.add_argument("--skip_backbone", action="store_true")
     ap.add_argument("--skip_baseline", action="store_true")
     ap.add_argument("--skip_tedm", action="store_true")
+    ap.add_argument("--experiments", nargs="+", default=["baseline", "TEDM"],
+                    help="protocol arms: baseline LEDM LEDMe TEDM Step_<t> "
+                         "(Step_1 = PDDM probe at timestep 1); "
+                         "--skip_baseline/--skip_tedm still filter for "
+                         "backwards compatibility")
     ap.add_argument("--backbone_dir", type=str, default=None,
                     help="use this backbone checkpoint dir "
                          "(e.g. the torch-ported one from port_backbone.py)")
@@ -71,6 +83,10 @@ def main(argv=None) -> None:
                     help="mechanism flip (RESULTS_parity.md): train/eval the "
                          "TEDM head with the reference's unnormalized feature "
                          "extraction (--extract_unnormalized in the CLI)")
+    ap.add_argument("--extra", nargs=argparse.REMAINDER, default=[],
+                    help="extra CLI args appended to every train invocation "
+                         "(e.g. --extra --dim 16 for a fast driver-logic "
+                         "smoke that skips the ~25-min full-UNet CPU compile)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -87,7 +103,7 @@ def main(argv=None) -> None:
         "--data_dir", "", "--splits_dir", os.path.join(args.root, "data"),
         "--img_size", str(args.img_size), "--batch_size", str(args.batch_size),
         "--seed", str(args.seed), "--num_workers", "2",
-    ]
+    ] + list(args.extra)
     nih = os.path.join(args.root, "NIH")
     mon = os.path.join(args.root, "Montgomery")
 
@@ -127,55 +143,75 @@ def main(argv=None) -> None:
             summary["experiments"] = json.load(f).get("experiments", {})
     jsrt_common = [a if a else os.path.join(args.root, "JSRT") for a in common]
 
-    for n in ([] if args.skip_baseline else args.sizes):
-        print(f"=== tedm_tpu baseline n={n} ===")
-        run = os.path.join(args.out, "baseline", str(n), "run")
-        train_main([
-            "--experiment", "baseline", "--n_labelled_images", str(n),
-            "--log_dir", os.path.join(args.out, f"b{n}"),
-            "--max_steps", str(args.head_steps),
-            "--log_freq", "50", "--val_freq", str(min(50, args.head_steps)),
-        ] + jsrt_common)
-        exp_dir = os.path.join(args.out, "baseline", str(n), f"b{n}")
-        outputs = evaluate_experiment(exp_dir, nih_path=nih, mon_path=mon)
-        summary["experiments"][f"baseline/{n}"] = dict(
-            summarize(outputs), mechanism=mechanism)
-        with open(os.path.join(args.out, "summary.json"), "w") as f:
-            json.dump(summary, f, indent=2)
+    backbone_arg = (backbone if os.path.isdir(os.path.join(backbone, "state"))
+                    else os.path.join(backbone, "best"))
+    mech_flags = (
+        (["--extract_unnormalized"] if args.extract_unnormalized else [])
+        + (["--serve_raw_params"] if args.serve_raw_params else []))
 
-    for n in ([] if args.skip_tedm else args.sizes):
-        print(f"=== tedm_tpu TEDM n={n} ===")
-        train_main([
-            "--experiment", "TEDM", "--n_labelled_images", str(n),
-            "--log_dir", os.path.join(args.out, f"t{n}"),
-            "--max_steps", str(args.head_steps),
-            "--log_freq", "50", "--val_freq", str(min(50, args.head_steps)),
-            "--saved_diffusion_model",
-            backbone if os.path.isdir(os.path.join(backbone, "state"))
-            else os.path.join(backbone, "best"),
-        ] + (["--extract_unnormalized"] if args.extract_unnormalized else [])
-          + (["--serve_raw_params"] if args.serve_raw_params else [])
-          + jsrt_common)
-        exp_dir = os.path.join(args.out, "TEDM", str(n), f"t{n}")
-        results = evaluate_shared_weights(exp_dir, nih_path=nih, mon_path=mon)
-        summ = summarize(results)
-        # per-timestep Dice from the npz artifacts (mirrors the reference
-        # summary's per_timestep block for the head-to-head table)
-        import glob as _glob
+    exps = [e for e in args.experiments
+            if not (e == "baseline" and args.skip_baseline)
+            and not (e == "TEDM" and args.skip_tedm)]
+    for exp in exps:
+        # Step_<t>: the PDDM probe pinned to ONE timestep — the reference's
+        # Step_N experiment dirs (datasetDM_per_step.py; the dispatcher
+        # never calls it there, fixed here — train.py docstring).
+        step_t = int(exp.split("_", 1)[1]) if exp.startswith("Step_") else None
+        cli_exp = "PDDM" if step_t is not None else exp
+        for n in args.sizes:
+            print(f"=== tedm_tpu {exp} n={n} ===")
+            tag = {"baseline": "b", "LEDM": "l", "LEDMe": "e", "TEDM": "t"}.get(
+                cli_exp, f"s{step_t}n")
+            cmd = [
+                "--experiment", cli_exp, "--n_labelled_images", str(n),
+                "--log_dir", os.path.join(args.out, f"{tag}{n}"),
+                "--max_steps", str(args.head_steps),
+                "--log_freq", "50",
+                "--val_freq", str(min(50, args.head_steps)),
+            ]
+            if cli_exp != "baseline":
+                cmd += ["--saved_diffusion_model", backbone_arg] + mech_flags
+            if step_t is not None:
+                cmd += ["--t_steps_to_save", str(step_t)]
+            train_main(cmd + jsrt_common)
+            exp_dir = os.path.join(args.out, cli_exp, str(n), f"{tag}{n}")
+            if exp == "TEDM":
+                results = evaluate_shared_weights(
+                    exp_dir, nih_path=nih, mon_path=mon)
+                summ = summarize(results)
+                # per-timestep Dice from the npz artifacts (mirrors the
+                # reference summary's per_timestep block)
+                import glob as _glob
 
-        import numpy as np
-        for key in summ:
-            per_t = {}
-            for f in _glob.glob(os.path.join(exp_dir, f"{key}_timestep*_predictions.npz")):
-                t_str = f.rsplit("timestep", 1)[1].split("_")[0]
-                d = np.asarray(np.load(f)["dice"]).squeeze()
-                per_t[t_str] = {"dice_mean": float(np.nanmean(d)),
-                                "dice_std": float(np.nanstd(d[~np.isnan(d)]))}
-            if per_t:
-                summ[key]["per_timestep"] = per_t
-        summary["experiments"][f"TEDM/{n}"] = dict(summ, mechanism=mechanism)
-        with open(os.path.join(args.out, "summary.json"), "w") as f:
-            json.dump(summary, f, indent=2)
+                import numpy as np
+                for key in summ:
+                    per_t = {}
+                    for f in _glob.glob(os.path.join(
+                            exp_dir, f"{key}_timestep*_predictions.npz")):
+                        t_str = f.rsplit("timestep", 1)[1].split("_")[0]
+                        d = np.asarray(np.load(f)["dice"]).squeeze()
+                        per_t[t_str] = {
+                            "dice_mean": float(np.nanmean(d)),
+                            "dice_std": float(np.nanstd(d[~np.isnan(d)]))}
+                    if per_t:
+                        summ[key]["per_timestep"] = per_t
+            else:
+                outputs = evaluate_experiment(
+                    exp_dir, nih_path=nih, mon_path=mon)
+                summ = summarize(outputs)
+            summary["experiments"][f"{exp}/{n}"] = dict(
+                summ, mechanism=mechanism)
+            with open(os.path.join(args.out, "summary.json"), "w") as f:
+                json.dump(summary, f, indent=2)
+            if step_t is not None:
+                # reporting layout: tables.collect_metrics looks for
+                # <logs_root>/Step_<t>/<n>/...; the PDDM CLI logs under
+                # PDDM/<n>/s<t>n<n> (several Step_t runs share PDDM/<n>)
+                link_dir = os.path.join(args.out, exp)
+                os.makedirs(link_dir, exist_ok=True)
+                link = os.path.join(link_dir, str(n))
+                if not os.path.exists(link):
+                    os.symlink(exp_dir, link)
 
     print(json.dumps(summary, indent=2))
     print(f"wrote {os.path.join(args.out, 'summary.json')}")
