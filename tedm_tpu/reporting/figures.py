@@ -58,6 +58,67 @@ def per_timestep_boxplot(
     print(f"wrote {out_path}")
 
 
+def protocol_boxplot(
+    logs_root: str, out_path: str,
+    experiments: List[str] = ("baseline", "LEDM", "TEDM"),
+    datasizes: List[int] = (1, 3, 6, 12),
+    metrics: List[str] = ("dice",),
+    datasets: List[str] = ("JSRT", "NIH", "Montgomery"),
+) -> None:
+    """The paper's headline figure: grouped boxplots of per-image metric vs
+    training-set size, one box per experiment at each n (reference
+    print_tests_shared_weights.py:66-85 'results_shared_weights.pdf',
+    seaborn hue=exp — rendered here with plain matplotlib offsets)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from tedm_tpu.reporting.tables import collect_metrics
+
+    rec = collect_metrics(logs_root, experiments, datasizes)
+    if len(rec["exp"]) == 0:
+        raise ValueError(f"no eval artifacts under {logs_root}")
+    fig, axes = plt.subplots(
+        len(datasets), len(metrics),
+        figsize=(1.2 + 2.4 * len(datasizes) * 0.9, 2.8 * len(datasets)),
+        squeeze=False)
+    width = 0.8 / len(experiments)
+    colors = plt.cm.tab10.colors
+    for i, dataset in enumerate(datasets):
+        for j, metric in enumerate(metrics):
+            ax = axes[i][j]
+            for e, exp in enumerate(experiments):
+                data, positions = [], []
+                for s, size in enumerate(datasizes):
+                    m = ((rec["exp"] == exp) & (rec["dataset"] == dataset)
+                         & (rec["datasize"] == size))
+                    if m.any():
+                        data.append(rec[metric][m] * 100)
+                        positions.append(s + (e - (len(experiments) - 1) / 2)
+                                         * width)
+                if data:
+                    bp = ax.boxplot(
+                        data, positions=positions, widths=width * 0.85,
+                        showfliers=False, patch_artist=True,
+                        medianprops={"color": "black"})
+                    for box in bp["boxes"]:
+                        box.set_facecolor(colors[e % len(colors)])
+            ax.set_xticks(range(len(datasizes)))
+            ax.set_xticklabels([str(s) for s in datasizes])
+            ax.set_xlabel("training dataset size")
+            ax.set_ylabel(f"{metric} x100")
+            ax.set_title(dataset)
+            ax.legend(
+                handles=[plt.Rectangle((0, 0), 1, 1,
+                                       fc=colors[e % len(colors)])
+                         for e in range(len(experiments))],
+                labels=list(experiments), loc="lower right", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path)
+    print(f"wrote {out_path}")
+
+
 def qualitative_grid(
     exp_dir: str, out_path: str, dataset: str = "JSRT_test", n: int = 6
 ) -> None:
@@ -206,16 +267,30 @@ def boundary_overlay_grid(
 
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("kind", choices=["boxplot", "grid", "compare", "overlay"])
+    parser.add_argument("kind", choices=["boxplot", "grid", "compare",
+                                         "overlay", "protocol"])
     parser.add_argument("--experiment", "-e", type=str,
                         help="experiment dir (boxplot/grid)")
     parser.add_argument("--experiments", nargs="+", default=[],
-                        help="NAME=DIR pairs (compare)")
+                        help="NAME=DIR pairs (compare) or experiment names "
+                             "(protocol)")
     parser.add_argument("--dataset", type=str, default="JSRT_test")
     parser.add_argument("--out", type=str, required=True)
     parser.add_argument("--metrics", nargs="+", default=["dice", "precision", "recall"])
     parser.add_argument("--n", type=int, default=6)
+    parser.add_argument("--logs_root", type=str, default=None,
+                        help="protocol: root holding <exp>/<n>/... eval dirs")
+    parser.add_argument("--datasizes", nargs="+", type=int,
+                        default=[1, 3, 6, 12])
     args = parser.parse_args(argv)
+    if args.kind == "protocol":
+        if not args.logs_root:
+            parser.error("protocol requires --logs_root")
+        protocol_boxplot(
+            args.logs_root, args.out,
+            experiments=args.experiments or ["baseline", "LEDM", "TEDM"],
+            datasizes=args.datasizes, metrics=args.metrics)
+        return
     if args.kind in ("boxplot", "grid") and not args.experiment:
         parser.error(f"{args.kind} requires --experiment")
     if args.kind in ("compare", "overlay") and not args.experiments:
