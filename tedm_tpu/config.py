@@ -362,8 +362,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=defaults.lr)
     p.add_argument("--weight_decay", type=float, default=defaults.weight_decay)
     p.add_argument("--ema_decay", type=float, default=defaults.ema_decay,
-                   help="EMA decay for diffusion backbone params "
-                        "(e.g. 0.9999; 0 disables)")
+                   help="EMA decay for diffusion backbone params (0 "
+                        "disables). Measured A/B (RESULTS_parity.md): use "
+                        "0.9999 when total steps >> the averaging horizon "
+                        "1/(1-decay) — +2..+4 Dice x100 at 10k steps; "
+                        "HARMFUL at short budgets (-0.3..-0.7 at 400-2000 "
+                        "steps), leave off for short fine-tunes")
     p.add_argument("--serve_raw_params", action="store_true",
                    help="serve the raw (non-EMA) weights from an --ema_decay "
                         "checkpoint in downstream loaders (EMA-vs-raw A/B)")
